@@ -1,0 +1,46 @@
+"""Device mesh and sharding helpers.
+
+The framework's primary parallel axis is *views* (the set of images being
+rendered / inverted / edited): independent per-view work (splat render, VAE
+encode, DDIM inversion) is data-parallel over the ``view`` mesh axis, while the
+cross-view reference attention gathers reference-view K/V across the axis (XLA
+lowers the gather of replicated-index rows of a view-sharded array to an ICI
+allgather). Replaces the reference's single-GPU `cuda:0` pin
+(/root/reference/gaussctrl/gc_pipeline.py:96-102) with a first-class
+`jax.sharding.Mesh`.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+VIEW_AXIS = "view"
+
+
+def make_mesh(devices=None, axis_name: str = VIEW_AXIS) -> Mesh:
+    """A 1-D mesh over all (or the given) devices; axis = the view axis."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def shard_views(mesh: Mesh, axis_name: str = VIEW_AXIS) -> NamedSharding:
+    """Sharding that splits the leading (view) dimension across the mesh."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    """Fully-replicated sharding (model weights, reference K/V)."""
+    return NamedSharding(mesh, P())
+
+
+def pad_to_multiple(n: int, m: int) -> int:
+    """Round ``n`` up to a multiple of ``m`` (view batches must divide the mesh)."""
+    return ((n + m - 1) // m) * m
+
+
+def device_put_sharded_views(x, mesh: Mesh):
+    """Place an array with its leading axis sharded over the mesh."""
+    return jax.device_put(x, shard_views(mesh))

@@ -1,0 +1,195 @@
+"""Splat kernels vs NumPy oracles + gradient checks (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gaussctrl_tpu.splat.project import project_gaussians, quat_to_rotmat
+from gaussctrl_tpu.splat.rasterize import RasterConfig, rasterize
+from gaussctrl_tpu.splat.sh import eval_sh, num_sh_bases
+from tests.oracle import project_np, quat_to_rotmat_np, rasterize_np
+
+
+def make_view(rng, n=40, W=64, H=48):
+    means = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    means[:, 2] += 4.0  # in front of the camera
+    scales = rng.uniform(0.02, 0.12, (n, 3)).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    viewmat = np.eye(4, dtype=np.float32)
+    fx = fy = 60.0
+    cx, cy = W / 2 + 1.3, H / 2 - 0.7
+    return means, scales, quats, viewmat, fx, fy, cx, cy, W, H
+
+
+def test_quat_to_rotmat_matches_oracle(rng):
+    quats = rng.normal(size=(16, 4)).astype(np.float32)
+    ours = np.asarray(quat_to_rotmat(jnp.asarray(quats)))
+    for i in range(16):
+        np.testing.assert_allclose(ours[i], quat_to_rotmat_np(quats[i]), atol=1e-5)
+
+
+def test_project_matches_oracle(rng):
+    means, scales, quats, viewmat, fx, fy, cx, cy, W, H = make_view(rng)
+    proj = project_gaussians(
+        jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+        jnp.asarray(viewmat), fx, fy, cx, cy, W, H,
+    )
+    oxys, odepths, oradii, oconics = project_np(
+        means, scales, quats, viewmat, fx, fy, cx, cy, W, H
+    )
+    live = oradii > 0
+    assert live.sum() > 10
+    np.testing.assert_allclose(np.asarray(proj.xys)[live], oxys[live], atol=0.1)
+    np.testing.assert_allclose(np.asarray(proj.depths)[live], odepths[live], rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(proj.radii)[live], oradii[live], atol=1.0)
+    np.testing.assert_allclose(np.asarray(proj.conics)[live], oconics[live], rtol=5e-3, atol=1e-3)
+
+
+def test_sh_num_bases():
+    assert [num_sh_bases(d) for d in range(4)] == [1, 4, 9, 16]
+
+
+def test_sh_degree0_is_constant(rng):
+    coeffs = rng.normal(size=(5, 16, 3)).astype(np.float32)
+    dirs = rng.normal(size=(5, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    out = eval_sh(0, jnp.asarray(dirs), jnp.asarray(coeffs))
+    np.testing.assert_allclose(
+        np.asarray(out), 0.28209479177387814 * coeffs[:, 0, :], rtol=1e-5
+    )
+
+
+def test_sh_basis_orthonormal():
+    """The 16 basis functions are orthonormal over the sphere.
+
+    Gauss-Legendre in cos(theta) x uniform in phi integrates the degree-<=6
+    polynomial products exactly, so this pins every SH constant.
+    """
+    nodes, weights = np.polynomial.legendre.leggauss(16)  # cos(theta)
+    phi = (np.arange(64) + 0.5) * (2 * np.pi / 64)
+    ct, ph = np.meshgrid(nodes, phi, indexing="ij")
+    st = np.sqrt(1 - ct ** 2)
+    dirs = np.stack([st * np.cos(ph), st * np.sin(ph), ct], -1).reshape(-1, 3)
+    w = np.broadcast_to(weights[:, None], ct.shape).reshape(-1) * (2 * np.pi / 64)
+
+    m = dirs.shape[0]
+    basis = np.zeros((m, 16))
+    for k in range(16):
+        coeffs = np.zeros((m, 16, 3), np.float64)
+        coeffs[:, k, 0] = 1.0
+        basis[:, k] = np.asarray(
+            eval_sh(3, jnp.asarray(dirs, jnp.float64), jnp.asarray(coeffs))
+        )[:, 0]
+    gram = (basis * w[:, None]).T @ basis
+    np.testing.assert_allclose(gram, np.eye(16), atol=5e-3)
+
+
+@pytest.mark.parametrize("ch", [3, 4])
+def test_rasterize_matches_oracle(rng, ch):
+    means, scales, quats, viewmat, fx, fy, cx, cy, W, H = make_view(rng, n=60)
+    oxys, odepths, oradii, oconics = project_np(
+        means, scales, quats, viewmat, fx, fy, cx, cy, W, H
+    )
+    n = means.shape[0]
+    colors = rng.uniform(0, 1, (n, ch)).astype(np.float32)
+    opac = rng.uniform(0.2, 0.95, (n,)).astype(np.float32)
+    bg = rng.uniform(0, 1, (ch,)).astype(np.float32)
+
+    cfg = RasterConfig(tile_capacity=128, tile_chunk=4, max_tiles_x=8, max_tiles_y=8)
+    img, alpha = rasterize(
+        jnp.asarray(oxys, jnp.float32), jnp.asarray(odepths, jnp.float32),
+        jnp.asarray(oradii, jnp.float32), jnp.asarray(oconics, jnp.float32),
+        jnp.asarray(colors), jnp.asarray(opac), jnp.asarray(bg), H, W, cfg,
+    )
+    oimg, oalpha = rasterize_np(oxys, odepths, oradii, oconics, colors, opac, bg, H, W)
+    np.testing.assert_allclose(np.asarray(img), oimg, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(alpha), oalpha, atol=2e-4)
+
+
+def test_rasterize_empty_scene_gives_background(rng):
+    n, H, W = 8, 32, 32
+    bg = jnp.asarray([0.2, 0.4, 0.6])
+    img, alpha = rasterize(
+        jnp.zeros((n, 2)), jnp.ones((n,)), jnp.zeros((n,)),  # radii 0 ⇒ all culled
+        jnp.ones((n, 3)), jnp.ones((n, 3)), jnp.ones((n,)) * 0.5, bg, H, W,
+        RasterConfig(tile_capacity=32, tile_chunk=2),
+    )
+    np.testing.assert_allclose(np.asarray(img), np.broadcast_to(np.asarray(bg), (H, W, 3)), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(alpha), 0.0, atol=1e-6)
+
+
+def test_rasterize_gradients(rng):
+    """Finite-difference check on blended values (SURVEY.md §4 gate)."""
+    means, scales, quats, viewmat, fx, fy, cx, cy, W, H = make_view(rng, n=12, W=32, H=32)
+    oxys, odepths, oradii, oconics = project_np(
+        means, scales, quats, viewmat, fx, fy, cx, cy, W, H
+    )
+    n = means.shape[0]
+    colors = rng.uniform(0.1, 0.9, (n, 3)).astype(np.float32)
+    opac = rng.uniform(0.3, 0.7, (n,)).astype(np.float32)
+    bg = np.zeros(3, np.float32)
+    cfg = RasterConfig(tile_capacity=64, tile_chunk=2)
+
+    def loss(colors_j, opac_j, xys_j):
+        img, _ = rasterize(
+            xys_j, jnp.asarray(odepths, jnp.float32), jnp.asarray(oradii, jnp.float32),
+            jnp.asarray(oconics, jnp.float32), colors_j, opac_j, jnp.asarray(bg),
+            H, W, cfg,
+        )
+        return jnp.sum(img ** 2)
+
+    args = (jnp.asarray(colors), jnp.asarray(opac), jnp.asarray(oxys, jnp.float32))
+    g = jax.grad(loss, argnums=(0, 1, 2))(*args)
+    assert all(np.isfinite(np.asarray(x)).all() for x in g)
+
+    # finite differences on a few color entries
+    eps = 1e-3
+    base = float(loss(*args))
+    for i in [0, 3, 7]:
+        pert = np.array(colors)
+        pert[i, 0] += eps
+        num = (float(loss(jnp.asarray(pert), args[1], args[2])) - base) / eps
+        ana = float(np.asarray(g[0])[i, 0])
+        np.testing.assert_allclose(num, ana, rtol=0.05, atol=1e-2)
+
+
+def test_render_rgbd_shapes(rng):
+    from gaussctrl_tpu.splat.render import render_rgbd
+    from gaussctrl_tpu.splat.scene import random_scene
+
+    scene = random_scene(jax.random.PRNGKey(0), 200)
+    c2w = np.zeros((3, 4), np.float32)
+    c2w[:3, :3] = np.diag([1.0, 1.0, -1.0]) @ np.diag([1.0, -1.0, -1.0])  # look +z after flip
+    c2w[2, 3] = -4.0
+    out = render_rgbd(
+        scene, jnp.asarray(c2w), 60.0, 60.0, 32.0, 24.0, 64, 48,
+        jnp.zeros(3), cfg=RasterConfig(tile_capacity=256, tile_chunk=4),
+    )
+    assert out["rgb"].shape == (48, 64, 3)
+    assert out["depth"].shape == (48, 64, 1)
+    assert out["accumulation"].shape == (48, 64, 1)
+    assert np.isfinite(np.asarray(out["rgb"])).all()
+
+
+def test_rasterize_few_large_gaussians_no_overflow():
+    """Regression: 3 gaussians spanning many tiles each must all render.
+
+    (The intersection buffer used to be cap_multiplier*N with no floor, so tiny
+    scenes with large footprints silently dropped whole gaussians.)
+    """
+    xys = np.array([[32.0, 64.0], [64.0, 64.0], [96.0, 64.0]], np.float32)
+    depths = np.array([4.0, 6.0, 4.0], np.float32)
+    radii = np.array([25.0, 17.0, 25.0], np.float32)
+    conics = np.tile(np.array([[0.02, 0.0, 0.02]], np.float32), (3, 1))
+    colors = np.eye(3, dtype=np.float32)
+    opac = np.full((3,), 0.98, np.float32)
+    img, alpha, stats = rasterize(
+        jnp.asarray(xys), jnp.asarray(depths), jnp.asarray(radii),
+        jnp.asarray(conics), jnp.asarray(colors), jnp.asarray(opac),
+        jnp.zeros(3), 128, 128, RasterConfig(tile_capacity=16, tile_chunk=8),
+        return_stats=True,
+    )
+    out = np.asarray(img)
+    assert out[64, 32, 0] > 0.9 and out[64, 64, 1] > 0.9 and out[64, 96, 2] > 0.9
+    assert int(stats["n_isect"]) == 48
