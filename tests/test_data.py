@@ -1,0 +1,100 @@
+"""Data layer: PLY reader, dataparser against the bundled bear scene, ckpt IO."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from gaussctrl_tpu.data.dataparser import (
+    DataparserConfig, auto_orient_and_center_poses, parse_dataset,
+)
+from gaussctrl_tpu.data.ply import read_ply, read_point_cloud, write_ply
+
+BEAR = Path("/root/reference/data/bear")
+
+
+def test_ply_roundtrip(tmp_path, rng):
+    pts = rng.normal(size=(100, 3)).astype(np.float32)
+    cols = rng.uniform(0, 1, (100, 3)).astype(np.float32)
+    write_ply(tmp_path / "pc.ply", pts, cols)
+    pts2, cols2 = read_point_cloud(tmp_path / "pc.ply")
+    np.testing.assert_allclose(pts2, pts, rtol=1e-6)
+    np.testing.assert_allclose(cols2, cols, atol=1 / 255.0 + 1e-6)
+
+
+@pytest.mark.skipif(not BEAR.exists(), reason="reference data not mounted")
+def test_read_bear_ply():
+    v = read_ply(BEAR / "sparse_pc.ply")
+    assert v["x"].shape == (34174,)
+    assert v["red"].dtype == np.uint8
+
+
+def test_auto_orient_centers_and_aligns_up(rng):
+    n = 12
+    poses = np.tile(np.eye(4, dtype=np.float32)[None], (n, 1, 1))
+    poses[:, :3, 3] = rng.normal(size=(n, 3)) + 5.0
+    # up vectors all pointing along +x ⇒ rotation must map x→z
+    poses[:, :3, 1] = [1.0, 0.0, 0.0]
+    oriented, transform = auto_orient_and_center_poses(poses)
+    np.testing.assert_allclose(oriented[:, :3, 3].mean(0), 0.0, atol=1e-5)
+    np.testing.assert_allclose(oriented[:, :3, 1], np.tile([[0, 0, 1.0]], (n, 1)), atol=1e-5)
+
+
+@pytest.mark.skipif(not BEAR.exists(), reason="reference data not mounted")
+def test_parse_bear_dataset():
+    out = parse_dataset(DataparserConfig(data=BEAR))
+    assert len(out) == 96                       # README: bear has 96 views
+    assert out.width == 512 and out.height == 512
+    # frames sorted by filename
+    names = [p.name for p in out.image_filenames]
+    assert names == sorted(names)
+    # poses centered and scaled into the unit box
+    assert np.max(np.abs(out.c2w[:, :3, 3])) <= 1.0 + 1e-5
+    assert abs(np.max(np.abs(out.c2w[:, :3, 3])) - 1.0) < 1e-4
+    # OPENCV distortion propagated
+    assert np.any(out.distortion[:, 0] != 0)
+    # sparse points transformed along with the cameras
+    assert out.points_xyz is not None and out.points_xyz.shape == (34174, 3)
+    assert out.points_rgb.min() >= 0 and out.points_rgb.max() <= 1
+
+
+def test_ckpt_pytree_roundtrip(tmp_path):
+    import jax
+    from gaussctrl_tpu.core.ckpt import (
+        checkpoint_step, latest_checkpoint, load_pytree, save_checkpoint,
+    )
+    from gaussctrl_tpu.splat.scene import random_scene
+
+    scene = random_scene(jax.random.PRNGKey(1), 50)
+    p1 = save_checkpoint(tmp_path, 100, scene)
+    p2 = save_checkpoint(tmp_path, 200, scene)
+    assert latest_checkpoint(tmp_path) == p2
+    assert not p1.exists()                      # latest-only pruning
+    assert checkpoint_step(p2) == 200
+    scene2 = load_pytree(p2, scene)
+    np.testing.assert_allclose(np.asarray(scene2.means), np.asarray(scene.means))
+
+
+def test_import_splatfacto_ckpt(tmp_path):
+    import torch
+
+    from gaussctrl_tpu.core.ckpt import import_splatfacto_ckpt
+
+    n = 17
+    state = {
+        "_model.gauss_params.means": torch.randn(n, 3),
+        "_model.gauss_params.scales": torch.randn(n, 3),
+        "_model.gauss_params.quats": torch.randn(n, 4),
+        "_model.gauss_params.opacities": torch.randn(n, 1),
+        "_model.gauss_params.features_dc": torch.randn(n, 3),
+        "_model.gauss_params.features_rest": torch.randn(n, 15, 3),
+        "_model.camera_optimizer.pose_adjustment": torch.zeros(3, 6),
+    }
+    torch.save({"step": 29999, "pipeline": state}, tmp_path / "step-000029999.ckpt")
+    scene, step = import_splatfacto_ckpt(tmp_path / "step-000029999.ckpt")
+    assert step == 29999
+    assert scene.num_gaussians == n
+    assert scene.sh_degree == 3
+    np.testing.assert_allclose(
+        np.asarray(scene.means), state["_model.gauss_params.means"].numpy(), rtol=1e-6
+    )

@@ -1,0 +1,78 @@
+"""Re-optimization gate (SURVEY.md §7.2 step 3): a perturbed scene trains back."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussctrl_tpu.cameras.camera import make_cameras
+from gaussctrl_tpu.splat.losses import splat_loss, ssim
+from gaussctrl_tpu.splat.rasterize import RasterConfig
+from gaussctrl_tpu.splat.render import render_rgbd
+from gaussctrl_tpu.splat.scene import random_scene
+from gaussctrl_tpu.splat.trainer import TrainConfig, reoptimize
+
+
+def _orbit_cameras(n, radius=4.0, W=64, H=64, f=70.0):
+    c2ws = []
+    for i in range(n):
+        th = 2 * np.pi * i / n
+        pos = np.array([radius * np.sin(th), 0.0, radius * np.cos(th)])
+        fwd = -pos / np.linalg.norm(pos)          # look at origin
+        right = np.cross(np.array([0.0, 1.0, 0.0]), fwd)
+        right /= np.linalg.norm(right)
+        up = np.cross(fwd, right)
+        # OpenGL c2w: x right, y up, z backward
+        c2w = np.stack([right, up, -fwd], axis=1)
+        c2ws.append(np.concatenate([c2w, pos[:, None]], axis=1))
+    return make_cameras(np.stack(c2ws).astype(np.float32), f, f, W / 2, H / 2, W, H)
+
+
+def test_ssim_identical_is_one(rng):
+    img = jnp.asarray(rng.uniform(0, 1, (32, 32, 3)).astype(np.float32))
+    assert float(ssim(img, img)) > 0.999
+
+
+def test_splat_loss_zero_for_identical(rng):
+    img = jnp.asarray(rng.uniform(0, 1, (32, 32, 3)).astype(np.float32))
+    loss, m = splat_loss(img, img)
+    assert float(loss) < 1e-4
+    assert float(m["psnr"]) > 60
+
+
+def test_reoptimize_recovers_perturbed_scene():
+    key = jax.random.PRNGKey(0)
+    scene = random_scene(key, 150, sh_degree=1, extent=0.8)
+    # blobs big enough to cover multiple pixels at this camera distance
+    scene = scene.replace(scales=scene.scales + 1.5)
+    cams = _orbit_cameras(6)
+    cfg = RasterConfig(tile_capacity=256, tile_chunk=8)
+
+    bg = jnp.zeros(3)
+    targets = jnp.stack([
+        render_rgbd(scene, cams.c2w[i], cams.fx[i], cams.fy[i], cams.cx[i],
+                    cams.cy[i], cams.width, cams.height, bg, cfg=cfg)["rgb"]
+        for i in range(len(cams))
+    ])
+
+    # perturb colors + opacities
+    perturbed = scene.replace(
+        features_dc=scene.features_dc + 0.8,
+        opacities=scene.opacities - 1.0,
+    )
+
+    def mean_l1(s):
+        total = 0.0
+        for i in range(len(cams)):
+            out = render_rgbd(s, cams.c2w[i], cams.fx[i], cams.fy[i], cams.cx[i],
+                              cams.cy[i], cams.width, cams.height, bg, cfg=cfg)
+            total += float(jnp.mean(jnp.abs(out["rgb"] - targets[i])))
+        return total / len(cams)
+
+    before = mean_l1(perturbed)
+    trained, metrics = reoptimize(
+        perturbed, cams, targets, num_steps=120, raster_cfg=cfg,
+        train_cfg=TrainConfig(background="black"),
+    )
+    after = mean_l1(trained)
+    assert before > 0.01
+    assert after < before * 0.4, f"l1 {before:.4f} -> {after:.4f}"
