@@ -10,3 +10,8 @@ device mesh, reference K/V allgathered over ICI).
 """
 
 __version__ = "0.1.0"
+
+from gaussctrl_tpu.splat import (  # noqa: E402,F401
+    GaussianScene, RasterConfig, eval_sh, num_sh_bases, project_gaussians,
+    rasterize, render_camera, render_rgbd,
+)

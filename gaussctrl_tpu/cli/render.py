@@ -1,0 +1,222 @@
+"""`python -m gaussctrl_tpu.cli.render` — the `ns-gaussctrl-render` equivalent.
+
+Subcommands mirror /root/reference/gaussctrl/gc_render.py:875-888:
+
+  dataset      render every dataset view (rgb/depth; --save-depth-npy writes
+               the `depth_npy/*.npy` artifacts the dataparser auto-loads;
+               gc_render.py:724-872)
+  camera-path  render a viewer-authored camera-path JSON to video/images
+               (gc_render.py:456-599; nerfstudio camera_path format)
+  interpolate  interpolated trajectory through the dataset cameras
+               (gc_render.py:602-655)
+  spiral       spiral trajectory about the first camera (gc_render.py:658-707)
+
+Video is written with cv2 (mp4v) instead of ffmpeg/mediapy.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import numpy as np
+
+
+def _load_scene(ckpt: str):
+    if str(ckpt).endswith(".npz"):
+        from gaussctrl_tpu.core.ckpt import load_scene_npz
+        return load_scene_npz(ckpt)
+    from gaussctrl_tpu.core.ckpt import import_splatfacto_ckpt
+    return import_splatfacto_ckpt(ckpt)[0]
+
+
+def _render_views(scene, cams, out_dir: Path, outputs, save_depth_npy=False,
+                  fmt="png", fps=24, colormap_near=None, colormap_far=None):
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from gaussctrl_tpu.splat.render import render_camera
+
+    out_dir.mkdir(parents=True, exist_ok=True)
+    frames = {o: [] for o in outputs}
+    bg = jnp.zeros(3)
+    for i in range(len(cams)):
+        out = render_camera(scene, cams, jnp.asarray(i), bg)
+        for o in outputs:
+            if o == "rgb":
+                arr = np.asarray(jnp.clip(out["rgb"], 0, 1) * 255).astype(np.uint8)
+            elif o == "depth":
+                d = np.asarray(out["depth"][..., 0])
+                if save_depth_npy:
+                    nd = out_dir / "depth_npy"
+                    nd.mkdir(exist_ok=True)
+                    np.save(nd / f"{i:05d}.npy", d[..., None])
+                near = colormap_near or float(np.percentile(d[d < 999], 2)) if (d < 999).any() else 0.0
+                far = colormap_far or float(np.percentile(d[d < 999], 98)) if (d < 999).any() else 1.0
+                norm = np.clip((d - near) / max(far - near, 1e-6), 0, 1)
+                arr = (np.stack([norm] * 3, -1) * 255).astype(np.uint8)
+            elif o == "accumulation":
+                a = np.asarray(out["accumulation"][..., 0])
+                arr = (np.stack([a] * 3, -1) * 255).astype(np.uint8)
+            else:
+                raise ValueError(f"unknown output {o}")
+            frames[o].append(arr)
+        print(f"[render] view {i + 1}/{len(cams)}", flush=True)
+
+    for o, imgs in frames.items():
+        if fmt == "video":
+            _write_video(out_dir / f"{o}.mp4", imgs, fps)
+        else:
+            d = out_dir / o
+            d.mkdir(exist_ok=True)
+            for i, arr in enumerate(imgs):
+                Image.fromarray(arr).save(d / f"{i:05d}.{fmt}")
+    print(f"[render] wrote {out_dir}")
+
+
+def _write_video(path: Path, frames, fps):
+    import cv2
+    h, w = frames[0].shape[:2]
+    vw = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    for f in frames:
+        vw.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+    vw.release()
+
+
+def _dataset_cameras(data: str):
+    from gaussctrl_tpu.data.datamanager import DataManager, DataManagerConfig
+    cfg = DataManagerConfig(load_all=True)
+    cfg.dataparser.data = data
+    return DataManager(cfg).cameras
+
+
+def cmd_dataset(args):
+    scene = _load_scene(args.load_checkpoint)
+    cams = _dataset_cameras(args.data)
+    _render_views(scene, cams, Path(args.output_path), args.rendered_output_names,
+                  save_depth_npy=args.save_depth_npy, fmt=args.image_format)
+
+
+def cmd_camera_path(args):
+    from gaussctrl_tpu.cameras.camera import make_cameras
+    spec = json.loads(Path(args.camera_path_filename).read_text())
+    h, w = int(spec["render_height"]), int(spec["render_width"])
+    c2ws, fxs, fys = [], [], []
+    for cam in spec["camera_path"]:
+        m = np.asarray(cam["camera_to_world"], np.float64).reshape(4, 4)
+        c2ws.append(m[:3])
+        fov = float(cam.get("fov", spec.get("fov", 75.0)))
+        fy = h / (2 * np.tan(np.radians(fov) / 2))
+        fys.append(fy)
+        fxs.append(fy)  # nerfstudio camera paths use square pixels
+    cams = make_cameras(np.asarray(c2ws, np.float32), np.asarray(fxs),
+                        np.asarray(fys), w / 2, h / 2, w, h)
+    scene = _load_scene(args.load_checkpoint)
+    fmt = "video" if args.output_format == "video" else args.image_format
+    _render_views(scene, cams, Path(args.output_path),
+                  args.rendered_output_names, fmt=fmt,
+                  fps=float(spec.get("fps", args.fps)))
+
+
+def cmd_interpolate(args):
+    from gaussctrl_tpu.cameras.camera import Cameras
+    cams = _dataset_cameras(args.data)
+    c2w = np.asarray(cams.c2w)
+    steps = args.interpolation_steps
+    out = []
+    for i in range(len(c2w) - 1):
+        for t in np.linspace(0, 1, steps, endpoint=False):
+            a, b = c2w[i], c2w[i + 1]
+            m = (1 - t) * a + t * b
+            # re-orthonormalize the rotation (good enough for previews)
+            u, _, vt = np.linalg.svd(m[:3, :3])
+            m[:3, :3] = u @ vt
+            out.append(m)
+    interp = Cameras(
+        c2w=np.asarray(out, np.float32),
+        fx=np.full(len(out), float(cams.fx[0]), np.float32),
+        fy=np.full(len(out), float(cams.fy[0]), np.float32),
+        cx=np.full(len(out), float(cams.cx[0]), np.float32),
+        cy=np.full(len(out), float(cams.cy[0]), np.float32),
+        width=cams.width, height=cams.height)
+    scene = _load_scene(args.load_checkpoint)
+    fmt = "video" if args.output_format == "video" else args.image_format
+    _render_views(scene, interp, Path(args.output_path),
+                  args.rendered_output_names, fmt=fmt, fps=args.fps)
+
+
+def cmd_spiral(args):
+    from gaussctrl_tpu.cameras.camera import Cameras
+    cams = _dataset_cameras(args.data)
+    base = np.asarray(cams.c2w[0])
+    n = args.frames
+    radius = args.radius
+    out = []
+    for t in np.linspace(0, 2 * np.pi, n, endpoint=False):
+        offset = base[:3, :3] @ np.array(
+            [np.cos(t) * radius, np.sin(t) * radius, 0.0])
+        m = base.copy()
+        m[:3, 3] = base[:3, 3] + offset
+        out.append(m)
+    spiral = Cameras(
+        c2w=np.asarray(out, np.float32),
+        fx=np.full(n, float(cams.fx[0]), np.float32),
+        fy=np.full(n, float(cams.fy[0]), np.float32),
+        cx=np.full(n, float(cams.cx[0]), np.float32),
+        cy=np.full(n, float(cams.cy[0]), np.float32),
+        width=cams.width, height=cams.height)
+    scene = _load_scene(args.load_checkpoint)
+    fmt = "video" if args.output_format == "video" else args.image_format
+    _render_views(scene, spiral, Path(args.output_path),
+                  args.rendered_output_names, fmt=fmt, fps=args.fps)
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="gaussctrl-render")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp, needs_data=True):
+        sp.add_argument("--load-checkpoint", required=True,
+                        help="scene checkpoint (.npz or splatfacto .ckpt)")
+        if needs_data:
+            sp.add_argument("--data", required=True)
+        sp.add_argument("--output-path", default="renders")
+        sp.add_argument("--rendered-output-names", nargs="+",
+                        default=["rgb"], choices=["rgb", "depth", "accumulation"])
+        sp.add_argument("--image-format", default="png", choices=["png", "jpeg"])
+        sp.add_argument("--output-format", default="images",
+                        choices=["images", "video"])
+        sp.add_argument("--fps", type=float, default=24.0)
+
+    d = sub.add_parser("dataset", help="render every dataset view")
+    common(d)
+    d.add_argument("--save-depth-npy", action="store_true")
+    d.set_defaults(fn=cmd_dataset)
+
+    c = sub.add_parser("camera-path", help="render a camera-path JSON")
+    common(c, needs_data=False)
+    c.add_argument("--camera-path-filename", required=True)
+    c.set_defaults(fn=cmd_camera_path)
+
+    i = sub.add_parser("interpolate", help="interpolate dataset cameras")
+    common(i)
+    i.add_argument("--interpolation-steps", type=int, default=10)
+    i.set_defaults(fn=cmd_interpolate)
+
+    s = sub.add_parser("spiral", help="spiral about the first camera")
+    common(s)
+    s.add_argument("--frames", type=int, default=60)
+    s.add_argument("--radius", type=float, default=0.1)
+    s.set_defaults(fn=cmd_spiral)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

