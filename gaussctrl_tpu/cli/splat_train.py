@@ -1,0 +1,69 @@
+"""`python -m gaussctrl_tpu.cli.splat_train` — from-scratch 3DGS pre-training.
+
+The `ns-train splatfacto` role (/root/reference/README.md:100-113: every scene
+is pre-trained 30k steps before editing), made standalone: parse the scene,
+seed gaussians from the sparse point cloud, optimize with static-capacity
+densification, save a step-numbered npz the edit CLI consumes via
+`--load-checkpoint`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from pathlib import Path
+
+import numpy as np
+
+from gaussctrl_tpu.cli.flags import add_dataclass_flags, apply_overrides
+from gaussctrl_tpu.core.ckpt import save_checkpoint
+from gaussctrl_tpu.core.writer import MetricsWriter
+from gaussctrl_tpu.data.datamanager import DataManager, DataManagerConfig
+from gaussctrl_tpu.splat.pretrain import PretrainConfig, pretrain
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="gaussctrl-splat-train",
+                                description="3DGS pre-training (splatfacto role)")
+    p.add_argument("--data", required=True)
+    p.add_argument("--output-dir", default="outputs")
+    p.add_argument("--experiment-name", default=None)
+    p.add_argument("--sh-degree", type=int, default=3)
+    p.add_argument("--seed", type=int, default=0)
+    add_dataclass_flags(p, PretrainConfig, "trainer")
+    args = p.parse_args(argv)
+
+    cfg = apply_overrides(PretrainConfig(), args, "trainer")
+    dcfg = DataManagerConfig(load_all=True)
+    dcfg.dataparser.data = args.data
+    dm = DataManager(dcfg)
+    parsed = dm.parsed
+    assert parsed.points_xyz is not None, (
+        f"{args.data} has no ply_file_path sparse point cloud")
+
+    exp = args.experiment_name or Path(args.data).name
+    out_dir = Path(args.output_dir) / exp / "splat" / time.strftime(
+        "%Y-%m-%d_%H%M%S")
+    out_dir.mkdir(parents=True, exist_ok=True)
+    writer = MetricsWriter(str(out_dir), echo_every=200)
+
+    print(f"[splat-train] {len(dm)} views, "
+          f"{parsed.points_xyz.shape[0]} seed points, "
+          f"{cfg.num_steps} steps", flush=True)
+    t0 = time.time()
+    scene, metrics = pretrain(
+        dm.cameras, dm.stacked_images(), parsed.points_xyz,
+        parsed.points_rgb if parsed.points_rgb is not None
+        else np.full_like(parsed.points_xyz, 0.5),
+        cfg, sh_degree=args.sh_degree, seed=args.seed,
+        log_fn=lambda s, m: writer.write(s, m))
+    print(f"[splat-train] done in {time.time() - t0:.0f}s — "
+          f"{scene.num_gaussians} gaussians", flush=True)
+    path = save_checkpoint(out_dir / "ckpts", cfg.num_steps, scene)
+    print(f"[splat-train] saved {path}", flush=True)
+    writer.close()
+    return path
+
+
+if __name__ == "__main__":
+    main()

@@ -43,6 +43,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-num-iterations", type=int, default=1000)
     p.add_argument("--tiny-sd", action="store_true",
                    help="use the tiny SD config (tests/smoke; random weights)")
+    p.add_argument("--sam-ckpt", default="",
+                   help="facebook SAM .pth for langsam_obj masking")
+    p.add_argument("--clip-ckpt", default="",
+                   help="local HF CLIPModel dir for the text->box proposer")
     add_dataclass_flags(p, GaussCtrlConfig, "pipeline")
     add_dataclass_flags(p, DataManagerConfig, "pipeline.datamanager")
     add_dataclass_flags(p, TrainConfig, "optimizers")
@@ -82,7 +86,15 @@ def main(argv=None):
         from gaussctrl_tpu.diffusion.config import SDConfig
         sd_config = SDConfig.tiny()
 
-    pipe = GaussCtrlPipeline(pcfg, scene, dm.cameras, sd_config=sd_config)
+    masker = None
+    if pcfg.langsam_obj:
+        from gaussctrl_tpu.seg.grounding import build_langsam_equivalent
+        masker = build_langsam_equivalent(args.sam_ckpt or None,
+                                          args.clip_ckpt or None)
+        log(f"text->mask stack ready for object '{pcfg.langsam_obj}'")
+
+    pipe = GaussCtrlPipeline(pcfg, scene, dm.cameras, sd_config=sd_config,
+                             masker=masker)
     (out_dir / "config.json").write_text(json.dumps({
         "pipeline": dataclasses.asdict(pcfg),
         "datamanager": {k: v for k, v in dataclasses.asdict(dcfg).items()

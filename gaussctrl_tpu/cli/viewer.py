@@ -1,0 +1,32 @@
+"""`python -m gaussctrl_tpu.cli.viewer` — the `ns-viewer` equivalent
+(/root/reference/gaussctrl/gc_viewer.py): load a scene checkpoint, serve an
+interactive orbit viewer."""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="gaussctrl-viewer")
+    p.add_argument("--load-checkpoint", required=True,
+                   help="scene checkpoint (.npz or splatfacto .ckpt)")
+    p.add_argument("--port", type=int, default=7007)
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--height", type=int, default=512)
+    args = p.parse_args(argv)
+
+    if str(args.load_checkpoint).endswith(".npz"):
+        from gaussctrl_tpu.core.ckpt import load_scene_npz
+        scene = load_scene_npz(args.load_checkpoint)
+    else:
+        from gaussctrl_tpu.core.ckpt import import_splatfacto_ckpt
+        scene, _ = import_splatfacto_ckpt(args.load_checkpoint)
+    print(f"[viewer] {scene.num_gaussians} gaussians", flush=True)
+
+    from gaussctrl_tpu.viewer import ViewerServer
+    ViewerServer(scene, args.width, args.height, port=args.port).serve()
+
+
+if __name__ == "__main__":
+    main()

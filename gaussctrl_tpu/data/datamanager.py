@@ -56,8 +56,9 @@ def _undistort(image: np.ndarray, K: np.ndarray, dist6: np.ndarray,
     """
     import cv2
 
-    d = np.array([dist6[0], dist6[1], dist6[4], dist6[5], dist6[2], dist6[3]],
-                 np.float64)
+    # cv2 order (k1,k2,p1,p2,k3[,k4,k5,k6]) — pad to the 8-coeff model
+    d = np.array([dist6[0], dist6[1], dist6[4], dist6[5], dist6[2], dist6[3],
+                  0.0, 0.0], np.float64)
     if not np.any(d):
         return image, K
     newK, roi = cv2.getOptimalNewCameraMatrix(K, d, (image.shape[1], image.shape[0]), 0)

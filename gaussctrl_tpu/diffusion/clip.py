@@ -11,6 +11,7 @@ final layer norm, learned position embeddings.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import gzip
 import json
@@ -33,43 +34,48 @@ def quick_gelu(x):
 
 
 class CLIPAttention(nn.Module):
-    cfg: CLIPTextConfig
+    hidden_size: int
+    num_heads: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask):
-        c = self.cfg
-        d = c.hidden_size // c.num_heads
+    def __call__(self, x, mask=None):
+        d = self.hidden_size // self.num_heads
         b, t, _ = x.shape
-        q = nn.Dense(c.hidden_size, dtype=self.dtype, name="q_proj")(x)
-        k = nn.Dense(c.hidden_size, dtype=self.dtype, name="k_proj")(x)
-        v = nn.Dense(c.hidden_size, dtype=self.dtype, name="v_proj")(x)
-        q = q.reshape(b, t, c.num_heads, d)
-        k = k.reshape(b, t, c.num_heads, d)
-        v = v.reshape(b, t, c.num_heads, d)
+        q = nn.Dense(self.hidden_size, dtype=self.dtype, name="q_proj")(x)
+        k = nn.Dense(self.hidden_size, dtype=self.dtype, name="k_proj")(x)
+        v = nn.Dense(self.hidden_size, dtype=self.dtype, name="v_proj")(x)
+        q = q.reshape(b, t, self.num_heads, d)
+        k = k.reshape(b, t, self.num_heads, d)
+        v = v.reshape(b, t, self.num_heads, d)
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                             preferred_element_type=jnp.float32) / np.sqrt(d)
-        scores = jnp.where(mask[None, None], scores.astype(jnp.float32), -1e9)
+        scores = scores.astype(jnp.float32)
+        if mask is not None:
+            scores = jnp.where(mask[None, None], scores, -1e9)
         w = nn.softmax(scores, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(b, t, c.hidden_size)
-        return nn.Dense(c.hidden_size, dtype=self.dtype, name="out_proj")(out)
+        out = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(b, t, self.hidden_size)
+        return nn.Dense(self.hidden_size, dtype=self.dtype, name="out_proj")(out)
 
 
 class CLIPLayer(nn.Module):
-    cfg: CLIPTextConfig
+    hidden_size: int
+    num_heads: int
+    intermediate_size: int
+    layer_norm_eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask):
-        c = self.cfg
-        h = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
+    def __call__(self, x, mask=None):
+        h = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype,
                          name="layer_norm1")(x)
-        x = x + CLIPAttention(c, dtype=self.dtype, name="self_attn")(h, mask)
-        h = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
+        x = x + CLIPAttention(self.hidden_size, self.num_heads,
+                              dtype=self.dtype, name="self_attn")(h, mask)
+        h = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype,
                          name="layer_norm2")(x)
-        h = nn.Dense(c.intermediate_size, dtype=self.dtype, name="fc1")(h)
+        h = nn.Dense(self.intermediate_size, dtype=self.dtype, name="fc1")(h)
         h = quick_gelu(h)
-        return x + nn.Dense(c.hidden_size, dtype=self.dtype, name="fc2")(h)
+        return x + nn.Dense(self.hidden_size, dtype=self.dtype, name="fc2")(h)
 
 
 class CLIPTextModel(nn.Module):
@@ -89,9 +95,81 @@ class CLIPTextModel(nn.Module):
         x = tok + pos[None, :t].astype(self.dtype)
         causal = jnp.tril(jnp.ones((t, t), dtype=bool))
         for i in range(c.num_layers):
-            x = CLIPLayer(c, dtype=self.dtype, name=f"layers_{i}")(x, causal)
+            x = CLIPLayer(c.hidden_size, c.num_heads, c.intermediate_size,
+                          c.layer_norm_eps, dtype=self.dtype,
+                          name=f"layers_{i}")(x, causal)
         return nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
                             name="final_layer_norm")(x)
+
+    def embed(self, input_ids: jnp.ndarray, projection: jnp.ndarray
+              ) -> jnp.ndarray:
+        """Pooled text embedding in CLIP joint space: hidden state at the
+        EOS position (highest token id) through `projection` [hidden, joint]."""
+        h = self(input_ids)
+        eos = jnp.argmax(input_ids, axis=-1)
+        pooled = h[jnp.arange(h.shape[0]), eos]
+        return pooled @ projection
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPVisionConfig:
+    image_size: int = 224
+    patch_size: int = 14
+    hidden_size: int = 1024
+    num_layers: int = 24
+    num_heads: int = 16
+    intermediate_size: int = 4096
+    projection_dim: int = 768
+    layer_norm_eps: float = 1e-5
+
+    @classmethod
+    def vit_l14(cls) -> "CLIPVisionConfig":
+        return cls()
+
+    @classmethod
+    def tiny(cls) -> "CLIPVisionConfig":
+        return cls(image_size=32, patch_size=8, hidden_size=32, num_layers=2,
+                   num_heads=2, intermediate_size=64, projection_dim=16)
+
+
+# CLIP image preprocessing constants (OpenAI normalization, [0,1] pixels)
+CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+
+class CLIPVisionModel(nn.Module):
+    """CLIP ViT image tower (the reference's quality-metric protocol relies on
+    CLIP similarity, SURVEY.md §6; also backs the text→box proposer)."""
+    cfg: CLIPVisionConfig = CLIPVisionConfig()
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
+        """images [B, S, S, 3] CLIP-normalized -> tokens [B, 1+P, hidden]
+        (post-LN applied to all tokens; token 0 is CLS)."""
+        c = self.cfg
+        b = images.shape[0]
+        x = nn.Conv(c.hidden_size, (c.patch_size, c.patch_size),
+                    strides=(c.patch_size, c.patch_size), padding="VALID",
+                    use_bias=False, dtype=self.dtype,
+                    name="patch_embedding")(images.astype(self.dtype))
+        g = c.image_size // c.patch_size
+        x = x.reshape(b, g * g, c.hidden_size)
+        cls = self.param("class_embedding", nn.initializers.normal(0.02),
+                         (c.hidden_size,))
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls[None, None], (b, 1, c.hidden_size)), x], 1)
+        pos = self.param("position_embedding", nn.initializers.normal(0.02),
+                         (1 + g * g, c.hidden_size))
+        x = x + pos[None].astype(self.dtype)
+        x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
+                         name="pre_layrnorm")(x)
+        for i in range(c.num_layers):
+            x = CLIPLayer(c.hidden_size, c.num_heads, c.intermediate_size,
+                          c.layer_norm_eps, dtype=self.dtype,
+                          name=f"layers_{i}")(x)
+        return nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
+                            name="post_layernorm")(x)
 
 
 # ---------------------------------------------------------------------------

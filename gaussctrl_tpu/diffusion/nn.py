@@ -15,6 +15,7 @@ dtype; matmuls declare fp32 accumulation for the MXU.
 from __future__ import annotations
 
 import math
+import os
 from typing import Callable, Optional
 
 import jax
@@ -28,8 +29,22 @@ from flax import linen as nn
 AttnProcessor = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray, int], jnp.ndarray]
 
 
+def _use_flash(tq: int, tk: int) -> bool:
+    """Flash-kernel routing: GAUSSCTRL_FLASH=1 forces, =0 disables, default
+    auto — on for TPU backends at sequence lengths where streaming K/V wins."""
+    flag = os.environ.get("GAUSSCTRL_FLASH", "auto")
+    if flag == "0":
+        return False
+    if flag == "1":
+        return True
+    return jax.default_backend() == "tpu" and tq >= 256 and tk >= 256
+
+
 def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, heads: int) -> jnp.ndarray:
     """Multi-head scaled dot-product attention. q [B,Tq,C], k/v [B,Tk,C]."""
+    if _use_flash(q.shape[1], k.shape[1]):
+        from gaussctrl_tpu.ops.flash_attention import flash_attention
+        return flash_attention(q, k, v, heads)
     b, tq, c = q.shape
     tk = k.shape[1]
     d = c // heads

@@ -187,6 +187,41 @@ def convert_clip_text(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     return tree
 
 
+def convert_clip_vision(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """HF CLIP vision-tower keys -> CLIPVisionModel params."""
+    tree: Dict[str, Any] = {}
+    for key, tensor in sd.items():
+        if not key.startswith("vision_model."):
+            continue
+        path = _merge_indices(key[len("vision_model."):])
+        path = path.replace("embeddings/", "").replace("encoder/layers_",
+                                                       "layers_")
+        path = path.replace("/mlp/", "/")
+        if "position_ids" in path:
+            continue
+        if path == "class_embedding":
+            _set(tree, path, tensor)
+        elif path == "patch_embedding/weight":
+            _set(tree, "patch_embedding/kernel", tensor.transpose(2, 3, 1, 0))
+        elif path == "position_embedding/weight":
+            _set(tree, "position_embedding", tensor)
+        else:
+            leaf_path, arr = _leaf(path, tensor, False)
+            _set(tree, leaf_path, arr)
+    return tree
+
+
+def load_clip_model(clip_dir: str) -> Dict[str, Any]:
+    """Local HF CLIPModel dir -> {vision, text, visual/text_projection}."""
+    sd = load_state_dict(clip_dir, "model")
+    return {
+        "vision": convert_clip_vision(sd),
+        "text": convert_clip_text(sd),
+        "visual_projection": np.asarray(sd["visual_projection.weight"]).T,
+        "text_projection": np.asarray(sd["text_projection.weight"]).T,
+    }
+
+
 # ---------------------------------------------------------------------------
 # top-level loader
 # ---------------------------------------------------------------------------

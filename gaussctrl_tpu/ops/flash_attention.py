@@ -1,0 +1,125 @@
+"""Flash attention (Pallas, TPU) — the UNet/VAE/SAM attention fast path.
+
+The einsum attention in diffusion/nn.py materializes [B, h, Tq, Tk] score
+tensors in HBM (several GB of traffic per 4096-token UNet layer at the
+reference edit batch); this kernel keeps the online-softmax running state in
+VMEM and streams K/V blocks through — the standard flash-attention scheme as
+a Pallas grid over (batch·heads, query blocks).
+
+Inference-only (the editing pipeline never differentiates through the UNet —
+re-optimization differentiates the splat renderer instead, SURVEY.md §3.1);
+`attention()` in diffusion/nn.py falls back to the einsum path off-TPU or for
+unsupported shapes.
+
+fp32 accumulation, bf16-friendly inputs; head_dim is zero-padded to the
+128-lane width (softmax scale uses the true dim), K/V tail blocks are masked
+with -inf scores.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, tk_real: int,
+                  scale: float):
+    """One (batch·head, q-block) cell: online softmax over K/V blocks.
+
+    Refs carry a leading block dim of 1: q/o [1, bq, d], k/v [1, Tk_pad, d].
+    """
+    bq, d = q_ref.shape[1], q_ref.shape[2]
+    tk_pad = k_ref.shape[1]
+    n_blocks = tk_pad // block_k
+
+    q = q_ref[0].astype(jnp.float32) * scale
+
+    def body(i, carry):
+        m_prev, l_prev, acc = carry
+        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)              # [bq, block_k]
+        kpos = i * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (bq, block_k), 1)
+        s = jnp.where(kpos < tk_real, s, _NEG_INF)           # mask padded tail
+        m_new = jnp.maximum(m_prev, s.max(axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + p.sum(axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return m_new, l_new, acc
+
+    m0 = jnp.full((bq, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc0 = jnp.zeros((bq, d), jnp.float32)
+    _, l, acc = jax.lax.fori_loop(0, n_blocks, body, (m0, l0, acc0))
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("heads", "block_q", "block_k", "interpret"))
+def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                    heads: int, block_q: int = 256, block_k: int = 512,
+                    interpret: bool = False) -> jnp.ndarray:
+    """Drop-in for diffusion.nn.attention: q [B,Tq,C], k/v [B,Tk,C] -> [B,Tq,C]."""
+    b, tq, c = q.shape
+    tk = k.shape[1]
+    d = c // heads
+    d_pad = _round_up(d, 128)
+    scale = 1.0 / math.sqrt(d)
+    bq = min(block_q, _round_up(tq, 8))
+    bk = min(block_k, _round_up(tk, 128))
+    tq_pad = _round_up(tq, bq)
+    tk_pad = _round_up(tk, bk)
+
+    def split(x, t, t_pad):
+        x = x.reshape(b, t, heads, d).transpose(0, 2, 1, 3)
+        x = x.reshape(b * heads, t, d)
+        return jnp.pad(x, ((0, 0), (0, t_pad - t), (0, d_pad - d)))
+
+    qh = split(q, tq, tq_pad)
+    kh = split(k, tk, tk_pad)
+    vh = split(v, tk, tk_pad)
+
+    kernel = functools.partial(_flash_kernel, block_k=bk, tk_real=tk,
+                               scale=scale)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b * heads, tq_pad // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, d_pad), lambda bb, i: (bb, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk_pad, d_pad), lambda bb, i: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk_pad, d_pad), lambda bb, i: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d_pad), lambda bb, i: (bb, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * heads, tq_pad, d_pad), q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * heads * tq_pad * tk_pad * d_pad,
+            bytes_accessed=(b * heads * (tq_pad + 2 * tk_pad) * d_pad
+                            * q.dtype.itemsize),
+            transcendentals=b * heads * tq_pad * tk_pad,
+        ),
+    )(qh, kh, vh)
+
+    out = out[:, :tq, :d].reshape(b, heads, tq, d).transpose(0, 2, 1, 3)
+    return out.reshape(b, tq, c)

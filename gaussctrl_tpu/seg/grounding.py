@@ -1,0 +1,165 @@
+"""Text-prompted grounding: text -> boxes -> SAM masks (the Lang-SAM role).
+
+The reference chains GroundingDINO SwinB (text->boxes) into SAM (boxes->masks)
+(/root/reference/gaussctrl/lang_sam.py:84-121). The box-proposal stage here is
+pluggable:
+
+  * `ClipBoxProposer` — an open-vocabulary proposer built from the CLIP towers
+    already in the framework: patch-token/text cosine-similarity heatmap,
+    relative-threshold, box around the hot region. Weaker than GroundingDINO
+    but fully offline-portable (CLIP weights only).
+  * any callable `(images [V,H,W,3], text) -> boxes [V,4]` (xyxy, image
+    pixels) can replace it — e.g. a GroundingDINO port once its weights are
+    available.
+
+`GroundedSAMMasker` implements the pipeline's MaskProvider contract
+(`langsam_obj` path, gc_pipeline.py:148-152), including the reference's
+box_threshold-style rejection: views where nothing matches get all-zero masks
+(their edits are suppressed by the compositing, keeping the scene consistent).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussctrl_tpu.diffusion.clip import (
+    CLIP_MEAN, CLIP_STD, CLIPTextConfig, CLIPTextModel, CLIPVisionConfig,
+    CLIPVisionModel, load_tokenizer,
+)
+from gaussctrl_tpu.seg.sam import SAM
+
+
+def _resize(x: jnp.ndarray, size: int) -> jnp.ndarray:
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, size, size, c), method="bilinear")
+
+
+@dataclasses.dataclass
+class ClipBoxProposer:
+    """Text -> per-view xyxy box via CLIP patch-similarity heatmap."""
+    vision: CLIPVisionModel
+    text: CLIPTextModel
+    params: dict                  # {"vision":…, "text":…, "visual_projection",
+                                  #  "text_projection"}
+    tokenizer: object
+    rel_threshold: float = 0.75   # keep patches ≥ thresh · max-similarity
+    min_score: float = 0.0        # absolute floor (cosine) to accept any box
+
+    def __post_init__(self):
+        def heatmap(params, x, ids):
+            tokens = self.vision.apply({"params": params["vision"]}, x)
+            patches = tokens[:, 1:] @ params["visual_projection"]
+            patches = patches / jnp.linalg.norm(
+                patches, axis=-1, keepdims=True).clip(1e-8)
+            temb = self.text.apply({"params": params["text"]}, ids,
+                                   params["text_projection"],
+                                   method=CLIPTextModel.embed)[0]
+            temb = temb / jnp.linalg.norm(temb).clip(1e-8)
+            return patches @ temb
+
+        self._heatmap = jax.jit(heatmap)
+
+    def __call__(self, images: jnp.ndarray, prompt: str) -> np.ndarray:
+        """images [V,H,W,3] in [0,1] -> boxes [V,4] xyxy (−1s = no match)."""
+        v, h, w, _ = images.shape
+        size = self.vision.cfg.image_size
+        x = _resize(images, size)
+        x = (x - CLIP_MEAN) / CLIP_STD
+        ids = jnp.asarray(self.tokenizer.encode(prompt))[None]
+        g = size // self.vision.cfg.patch_size
+        sim = np.asarray(self._heatmap(self.params, x, ids)).reshape(v, g, g)
+        boxes = np.full((v, 4), -1.0, np.float32)
+        for i in range(v):
+            s = sim[i]
+            if s.max() < self.min_score:
+                continue
+            hot = s >= s.min() + self.rel_threshold * (s.max() - s.min())
+            ys, xs = np.nonzero(hot)
+            if len(xs) == 0:
+                continue
+            boxes[i] = [xs.min() / g * w, ys.min() / g * h,
+                        (xs.max() + 1) / g * w, (ys.max() + 1) / g * h]
+        return boxes
+
+
+class GroundedSAMMasker:
+    """MaskProvider: text -> boxes (proposer) -> SAM masks, per view."""
+
+    def __init__(self, sam: SAM,
+                 proposer: Callable[[jnp.ndarray, str], np.ndarray],
+                 batch: int = 4):
+        self.sam = sam
+        self.proposer = proposer
+        self.batch = batch
+        self._encode = jax.jit(self.sam.encode)
+        self._predict = jax.jit(self.sam.predict_boxes)
+
+    def __call__(self, images: jnp.ndarray, text: str) -> jnp.ndarray:
+        v, h, w, _ = images.shape
+        boxes = np.asarray(self.proposer(images, text))   # [V, 4] image px
+        size = self.sam.cfg.img_size
+        scale = np.array([size / w, size / h, size / w, size / h], np.float32)
+        masks = []
+        for lo in range(0, v, self.batch):
+            hi = min(lo + self.batch, v)
+            imgs = _resize(images[lo:hi], size)
+            emb = self._encode(imgs)
+            b = jnp.asarray(np.clip(boxes[lo:hi], 0, None) * scale)
+            logits, _ = self._predict(emb, b)
+            m = (logits > 0).astype(images.dtype)[..., None]
+            m = jax.image.resize(m, (hi - lo, h, w, 1), method="nearest")
+            # views with no box proposal get zero masks (nothing to edit)
+            found = jnp.asarray((boxes[lo:hi, 0] >= 0).astype(images.dtype))
+            masks.append(m * found[:, None, None, None])
+        return jnp.concatenate(masks)
+
+
+def build_langsam_equivalent(
+    sam_ckpt: Optional[str] = None,
+    clip_dir: Optional[str] = None,
+    sam: Optional[SAM] = None,
+) -> GroundedSAMMasker:
+    """Assemble the full text->mask stack from local checkpoints.
+
+    Falls back to random-init modules when paths are missing (shape-correct,
+    for smoke tests only — real masking needs real weights).
+    """
+    if sam is None:
+        if sam_ckpt:
+            from gaussctrl_tpu.seg.weights import load_sam
+            sam = load_sam(sam_ckpt)
+        else:
+            from gaussctrl_tpu.seg.sam import SAMConfig
+            sam = SAM.create(SAMConfig.tiny())
+
+    vcfg = CLIPVisionConfig.vit_l14() if clip_dir else CLIPVisionConfig.tiny()
+    tcfg = CLIPTextConfig.sd15() if clip_dir else CLIPTextConfig.tiny()
+    vision = CLIPVisionModel(vcfg)
+    text = CLIPTextModel(tcfg)
+    if clip_dir:
+        from gaussctrl_tpu.diffusion.weights import load_clip_model
+        params = load_clip_model(clip_dir)
+    else:
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        params = {
+            "vision": jax.jit(lambda k: vision.init(
+                k, jnp.zeros((1, vcfg.image_size, vcfg.image_size, 3))
+            )["params"])(k1),
+            "text": jax.jit(lambda k: text.init(
+                k, jnp.zeros((1, tcfg.max_position_embeddings), jnp.int32)
+            )["params"])(k2),
+            "visual_projection": jax.random.normal(
+                jax.random.PRNGKey(3),
+                (vcfg.hidden_size, vcfg.projection_dim)) * 0.05,
+            "text_projection": jax.random.normal(
+                jax.random.PRNGKey(4),
+                (tcfg.hidden_size, vcfg.projection_dim)) * 0.05,
+        }
+    tokenizer = load_tokenizer(clip_dir, tcfg)
+    proposer = ClipBoxProposer(vision, text, params, tokenizer)
+    return GroundedSAMMasker(sam, proposer)

@@ -1,0 +1,209 @@
+"""Adaptive density control (split / duplicate / cull) with static shapes.
+
+The reference inherits splatfacto's densification (inert during re-opt, which
+starts past the refinement window — SURVEY.md §2.2), so editing parity doesn't
+need it; *standalone pre-training* does (the reference delegates that to
+`ns-train splatfacto`, README.md:104). This is the TPU-native version of the
+3DGS adaptive density control:
+
+  * the gaussian buffer has a FIXED capacity; a boolean `alive` mask tracks
+    real gaussians (dead/padded slots render as radii=0) — growth is a masked
+    scatter into free slots, never a reshape, so the train step compiles once;
+  * screen-gradient statistics accumulate per step (world-mean grad norm
+    scaled by focal/depth ≈ the splatfacto xys-grad criterion);
+  * split: high-grad & large → two children sampled from the parent, scales
+    ÷1.6, parent killed; duplicate: high-grad & small → copy;
+  * cull: opacity below threshold, or screen/world footprint too large;
+  * periodic opacity reset to just-below-cull (splatfacto's reset_alpha).
+
+All of refine() is one jit-compiled function over (scene, opt_state, state).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from gaussctrl_tpu.splat.scene import GaussianScene
+
+
+@struct.dataclass
+class DensifyConfig:
+    grad_thresh: float = struct.field(pytree_node=False, default=0.0002)
+    densify_size_thresh: float = struct.field(pytree_node=False, default=0.01)
+    cull_opacity: float = struct.field(pytree_node=False, default=0.005)
+    cull_scale3d: float = struct.field(pytree_node=False, default=0.5)
+    split_ratio: float = struct.field(pytree_node=False, default=1.6)
+    warmup: int = struct.field(pytree_node=False, default=500)
+    stop_at: int = struct.field(pytree_node=False, default=15000)
+    refine_every: int = struct.field(pytree_node=False, default=100)
+    reset_alpha_every: int = struct.field(pytree_node=False, default=3000)
+
+
+@struct.dataclass
+class DensifyState:
+    alive: jnp.ndarray        # [Nmax] bool
+    grad_accum: jnp.ndarray   # [Nmax] summed screen-grad norms
+    grad_count: jnp.ndarray   # [Nmax] steps with a visible contribution
+
+
+def init_state(scene: GaussianScene, capacity: int
+               ) -> Tuple[GaussianScene, DensifyState]:
+    """Pad a scene to `capacity` slots; padded slots are dead."""
+    n = scene.num_gaussians
+    assert capacity >= n, (capacity, n)
+    pad = capacity - n
+
+    def grow(x):
+        return jnp.concatenate(
+            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)]) if pad else x
+
+    scene = GaussianScene(
+        means=grow(scene.means),
+        scales=jnp.concatenate([scene.scales,
+                                jnp.full((pad, 3), -15.0)]) if pad else scene.scales,
+        quats=jnp.concatenate(
+            [scene.quats,
+             jnp.tile(jnp.array([[1.0, 0, 0, 0]]), (pad, 1))]) if pad else scene.quats,
+        opacities=jnp.concatenate([scene.opacities,
+                                   jnp.full((pad, 1), -15.0)]) if pad else scene.opacities,
+        features_dc=grow(scene.features_dc),
+        features_rest=grow(scene.features_rest),
+    )
+    alive = jnp.arange(capacity) < n
+    return scene, DensifyState(alive=alive,
+                               grad_accum=jnp.zeros((capacity,), jnp.float32),
+                               grad_count=jnp.zeros((capacity,), jnp.float32))
+
+
+def accumulate(state: DensifyState, mean_grads: jnp.ndarray,
+               depths: jnp.ndarray, fx, width: int) -> DensifyState:
+    """Track the screen-space gradient criterion after a train step.
+
+    mean_grads [N,3] world-space; projected to an xys-grad scale via fx/z and
+    normalized by half-resolution as splatfacto does.
+    """
+    # world grad -> pixel grad: dL/dpix ≈ dL/dworld · z/fx, then the
+    # splatfacto half-resolution normalization
+    g = jnp.linalg.norm(mean_grads, axis=-1)
+    g = g * depths / jnp.maximum(fx, 1e-6) * (0.5 * width)
+    visible = depths > 0
+    return state.replace(
+        grad_accum=state.grad_accum + jnp.where(visible, g, 0.0),
+        grad_count=state.grad_count + visible.astype(jnp.float32),
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("scene", "state"))
+def refine(scene: GaussianScene, state: DensifyState, key: jax.Array,
+           cfg: DensifyConfig = DensifyConfig()):
+    """One split/duplicate/cull pass. Static shapes; returns (scene, state,
+    stats). New gaussians land in dead slots (capacity permitting)."""
+    cap = scene.num_gaussians
+    alive = state.alive
+    avg_grad = state.grad_accum / jnp.maximum(state.grad_count, 1.0)
+    opac = jax.nn.sigmoid(scene.opacities[:, 0])
+    max_scale = jnp.exp(scene.scales).max(-1)
+
+    high_grad = (avg_grad > cfg.grad_thresh) & alive
+    big = max_scale > cfg.densify_size_thresh
+    split_mask = high_grad & big
+    dup_mask = high_grad & ~big
+    cull_mask = alive & ((opac < cfg.cull_opacity) |
+                         (max_scale > cfg.cull_scale3d))
+    n_split = split_mask.sum()
+
+    # child i (2 per split parent) gets claim index 2*rank(+0/1);
+    # dup children follow after all split children
+    free_slots = jnp.nonzero(~alive & ~cull_mask, size=cap, fill_value=cap)[0]
+    # (dead slots; culled slots of this round are also reusable next round)
+
+    def place(claim_idx, parent_idx, new_scene, noise_key, shrink):
+        """Scatter one batch of children at free_slots[claim_idx]."""
+        slot_raw = jnp.where(claim_idx < free_slots.shape[0],
+                             free_slots[jnp.clip(claim_idx, 0, cap - 1)], cap)
+        ok = (slot_raw < cap) & (parent_idx < cap)
+        # invalid writes go out of bounds and are dropped by mode="drop" —
+        # never clipped onto a real slot (duplicate-index scatter would
+        # clobber genuine writes there)
+        slot = jnp.where(ok, slot_raw, cap)
+        p = jnp.clip(parent_idx, 0, cap - 1)
+        # sample child positions from the parent gaussian
+        eps = jax.random.normal(noise_key, (parent_idx.shape[0], 3))
+        sc = jnp.exp(new_scene.scales[p])
+        q = new_scene.quats[p]
+        q = q / jnp.linalg.norm(q, axis=-1, keepdims=True).clip(1e-8)
+        w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+        R = jnp.stack([
+            jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)], -1),
+            jnp.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)], -1),
+            jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)], -1),
+        ], -2)
+        offset = jnp.einsum("nij,nj->ni", R, eps * sc)
+        new_means = new_scene.means[p] + jnp.where(shrink, 1.0, 0.0) * offset
+        new_scales = new_scene.scales[p] - jnp.where(
+            shrink, jnp.log(jnp.asarray(cfg.split_ratio)), 0.0)
+
+        def put(dst, src_vals):
+            return dst.at[slot].set(src_vals, mode="drop")
+
+        return GaussianScene(
+            means=put(new_scene.means, new_means),
+            scales=put(new_scene.scales, new_scales),
+            quats=put(new_scene.quats, new_scene.quats[p]),
+            opacities=put(new_scene.opacities, new_scene.opacities[p]),
+            features_dc=put(new_scene.features_dc, new_scene.features_dc[p]),
+            features_rest=put(new_scene.features_rest, new_scene.features_rest[p]),
+        ), jnp.zeros((cap,), bool).at[slot].set(True, mode="drop")
+
+    k1, k2, k3 = jax.random.split(key, 3)
+    split_parents = jnp.nonzero(split_mask, size=cap, fill_value=cap)[0]
+    dup_parents = jnp.nonzero(dup_mask, size=cap, fill_value=cap)[0]
+
+    # children A (shifted, shrunk), children B (shifted, shrunk), dup copies
+    scene1, born1 = place(2 * src_idx(split_parents, cap) + 0, split_parents,
+                          scene, k1, True)
+    scene2, born2 = place(2 * src_idx(split_parents, cap) + 1, split_parents,
+                          scene1, k2, True)
+    scene3, born3 = place(2 * n_split + src_idx(dup_parents, cap), dup_parents,
+                          scene2, k3, False)
+
+    # split parents also shrink in place and then die; dup parents live on
+    scene3 = scene3.replace(
+        scales=jnp.where(split_mask[:, None],
+                         scene3.scales - jnp.log(jnp.asarray(cfg.split_ratio)),
+                         scene3.scales))
+    new_alive = (alive & ~cull_mask & ~split_mask) | born1 | born2 | born3
+    # dead slots are pushed far away with zero opacity so they never rasterize
+    dead = ~new_alive
+    scene3 = scene3.replace(
+        opacities=jnp.where(dead[:, None], -15.0, scene3.opacities),
+        scales=jnp.where(dead[:, None], -15.0, scene3.scales),
+    )
+    stats = {"n_alive": new_alive.sum(), "n_split": n_split,
+             "n_dup": dup_mask.sum(), "n_cull": cull_mask.sum(),
+             "n_born": born1.sum() + born2.sum() + born3.sum()}
+    fresh = DensifyState(alive=new_alive,
+                         grad_accum=jnp.zeros((cap,), jnp.float32),
+                         grad_count=jnp.zeros((cap,), jnp.float32))
+    return scene3, fresh, stats
+
+
+def src_idx(parents: jnp.ndarray, cap: int) -> jnp.ndarray:
+    """Claim ranks for a padded parent list: 0,1,2,… for real entries."""
+    real = parents < cap
+    return jnp.where(real, jnp.cumsum(real) - 1, cap)
+
+
+def reset_opacities(scene: GaussianScene, alive: jnp.ndarray,
+                    value: float = 0.01) -> GaussianScene:
+    """Clamp alive opacities to ≤ `value` (splatfacto's reset_alpha)."""
+    logit = jnp.log(value / (1 - value))
+    return scene.replace(
+        opacities=jnp.where(alive[:, None],
+                            jnp.minimum(scene.opacities, logit),
+                            scene.opacities))

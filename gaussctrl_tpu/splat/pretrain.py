@@ -1,0 +1,139 @@
+"""From-scratch 3DGS pre-training (the `ns-train splatfacto` role).
+
+The reference assumes a splatfacto scene trained for 30k steps by nerfstudio
+(/root/reference/README.md:100-113); this module makes the framework
+standalone: seed gaussians from the sparse point cloud, optimize L1+SSIM with
+the same per-group Adam setup as the re-optimizer, and run the static-shape
+densification from densify.py (fixed capacity, alive masks — the train step
+compiles once and never re-specializes as the gaussian count grows).
+
+Progressive SH degree matches splatfacto: active degree = step //
+sh_degree_interval, capped at the scene's degree (gc_model.py:162-169).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussctrl_tpu.cameras.camera import Cameras
+from gaussctrl_tpu.splat.densify import (
+    DensifyConfig, DensifyState, accumulate, init_state, refine,
+    reset_opacities,
+)
+from gaussctrl_tpu.splat.losses import splat_loss
+from gaussctrl_tpu.splat.project import project_gaussians
+from gaussctrl_tpu.splat.rasterize import RasterConfig
+from gaussctrl_tpu.splat.render import render_rgbd
+from gaussctrl_tpu.splat.scene import GaussianScene, from_points
+from gaussctrl_tpu.splat.trainer import TrainConfig, make_optimizer
+from gaussctrl_tpu.cameras.camera import view_matrix
+
+
+@dataclasses.dataclass(frozen=True)
+class PretrainConfig:
+    num_steps: int = 30000
+    capacity_mult: float = 4.0      # gaussian buffer = mult × seed points
+    sh_degree_interval: int = 1000
+    densify: DensifyConfig = DensifyConfig()
+    train: TrainConfig = TrainConfig(lr_step_offset=0)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "sh_degree",
+                                   "raster_cfg", "train_cfg"),
+         donate_argnames=("scene", "opt_state", "dstate"))
+def pretrain_step(
+    scene: GaussianScene,
+    opt_state,
+    dstate: DensifyState,
+    c2w, fx, fy, cx, cy,
+    gt_image: jnp.ndarray,
+    key: jax.Array,
+    width: int, height: int,
+    sh_degree: int,
+    raster_cfg: RasterConfig = RasterConfig(),
+    train_cfg: TrainConfig = TrainConfig(lr_step_offset=0),
+):
+    """Train step + densify-statistics accumulation. Returns
+    (scene, opt_state, dstate, metrics)."""
+    import optax
+
+    background = jax.random.uniform(key, (3,))
+    optimizer = make_optimizer(train_cfg)
+
+    def loss_fn(s):
+        out = render_rgbd(s, c2w, fx, fy, cx, cy, width, height, background,
+                          sh_degree, raster_cfg)
+        return splat_loss(out["rgb"], gt_image, train_cfg.ssim_lambda)
+
+    (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(scene)
+    # visibility + depth of every gaussian in this view, for the grad stats
+    proj = project_gaussians(scene.means, jnp.exp(scene.scales), scene.quats,
+                             view_matrix(c2w), fx, fy, cx, cy, width, height)
+    vis_depth = jnp.where(proj.radii > 0, proj.depths, 0.0)
+    dstate = accumulate(dstate, grads.means, vis_depth, fx, width)
+
+    updates, opt_state = optimizer.update(grads, opt_state, scene)
+    scene = optax.apply_updates(scene, updates)
+    return scene, opt_state, dstate, metrics
+
+
+def pretrain(
+    cameras: Cameras,
+    images: np.ndarray,               # [V, H, W, 3]
+    points_xyz: np.ndarray,
+    points_rgb: np.ndarray,
+    cfg: PretrainConfig = PretrainConfig(),
+    sh_degree: int = 3,
+    raster_cfg: RasterConfig = RasterConfig(),
+    seed: int = 0,
+    log_fn=None,
+):
+    """Full pre-training loop. Returns (scene [alive only], final metrics)."""
+    import optax
+
+    scene = from_points(points_xyz, points_rgb, sh_degree)
+    capacity = int(cfg.capacity_mult * scene.num_gaussians)
+    scene, dstate = init_state(scene, capacity)
+    optimizer = make_optimizer(cfg.train)
+    opt_state = optimizer.init(scene)
+
+    rng = np.random.default_rng(seed)
+    keys = jax.random.split(jax.random.PRNGKey(seed), cfg.num_steps + 1)
+    order: list = []
+    metrics = {}
+    images = jnp.asarray(images)
+    d = cfg.densify
+    for step in range(cfg.num_steps):
+        if not order:
+            order = list(rng.permutation(len(cameras)))
+        v = int(order.pop())
+        active_sh = min(step // cfg.sh_degree_interval, sh_degree)
+        scene, opt_state, dstate, metrics = pretrain_step(
+            scene, opt_state, dstate,
+            cameras.c2w[v], cameras.fx[v], cameras.fy[v], cameras.cx[v],
+            cameras.cy[v], images[v], keys[step], cameras.width,
+            cameras.height, active_sh, raster_cfg, cfg.train)
+
+        in_window = d.warmup < step < d.stop_at
+        if in_window and step % d.refine_every == 0:
+            scene, dstate, stats = refine(scene, dstate, keys[-1], d)
+            opt_state = optimizer.init(scene)  # fresh moments for new slots
+            if log_fn:
+                log_fn(step, {k: int(v) for k, v in stats.items()})
+        if in_window and d.reset_alpha_every and step % d.reset_alpha_every == 0 \
+                and step > 0:
+            scene = reset_opacities(scene, dstate.alive)
+            opt_state = optimizer.init(scene)
+        if log_fn and step % 200 == 0:
+            log_fn(step, {k: float(x) for k, x in metrics.items()})
+
+    # compact to alive gaussians for downstream static-shape consumers
+    alive_idx = np.nonzero(np.asarray(dstate.alive))[0]
+    scene = jax.tree_util.tree_map(lambda x: x[alive_idx], scene)
+    return scene, metrics

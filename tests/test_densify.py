@@ -1,0 +1,122 @@
+"""Densification: static-capacity split/dup/cull semantics + short pretrain."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gaussctrl_tpu.splat.densify import (
+    DensifyConfig, init_state, refine, reset_opacities,
+)
+from gaussctrl_tpu.splat.scene import random_scene
+
+
+def _padded(n=8, cap=20):
+    scene = random_scene(jax.random.PRNGKey(0), n, sh_degree=1, extent=0.5)
+    scene = scene.replace(opacities=jnp.full((n, 1), 2.0))  # clearly alive
+    return init_state(scene, cap)
+
+
+def test_init_state_pads_dead():
+    scene, st = _padded()
+    assert scene.num_gaussians == 20
+    assert int(st.alive.sum()) == 8
+    # dead slots must never rasterize: sigmoid(-15) ≈ 0
+    assert float(jax.nn.sigmoid(scene.opacities[10, 0])) < 1e-5
+
+
+def test_refine_split_grows_and_kills_parent():
+    scene, st = _padded()
+    # gaussian 0: huge accumulated gradient and large scale -> split
+    st = st.replace(grad_accum=st.grad_accum.at[0].set(100.0),
+                    grad_count=st.grad_count.at[0].set(1.0))
+    scene = scene.replace(scales=scene.scales.at[0].set(jnp.log(0.5)))
+    cfg = DensifyConfig(grad_thresh=1.0, densify_size_thresh=0.1,
+                        cull_scale3d=10.0)
+    scene2, st2, stats = refine(scene, st, jax.random.PRNGKey(1), cfg)
+    assert int(stats["n_split"]) == 1
+    assert int(stats["n_born"]) == 2
+    assert not bool(st2.alive[0])            # parent dies
+    assert int(st2.alive.sum()) == 8 - 1 + 2
+
+
+def test_refine_duplicate_keeps_parent():
+    scene, st = _padded()
+    st = st.replace(grad_accum=st.grad_accum.at[3].set(100.0),
+                    grad_count=st.grad_count.at[3].set(1.0))
+    scene = scene.replace(scales=scene.scales.at[3].set(jnp.log(1e-4)))
+    cfg = DensifyConfig(grad_thresh=1.0, densify_size_thresh=0.1,
+                        cull_scale3d=10.0)
+    alive_before = np.asarray(st.alive)          # refine() donates its inputs
+    mean3_before = np.asarray(scene.means[3])
+    scene2, st2, stats = refine(scene, st, jax.random.PRNGKey(1), cfg)
+    assert int(stats["n_dup"]) == 1
+    assert bool(st2.alive[3])
+    assert int(st2.alive.sum()) == 9
+    # duplicate is an exact copy at some free slot
+    born = np.nonzero(np.asarray(st2.alive) & ~alive_before)[0]
+    assert len(born) == 1
+    np.testing.assert_allclose(np.asarray(scene2.means[born[0]]),
+                               mean3_before, atol=1e-6)
+
+
+def test_refine_culls_transparent():
+    scene, st = _padded()
+    scene = scene.replace(opacities=scene.opacities.at[5].set(-15.0))
+    cfg = DensifyConfig(grad_thresh=1e9, cull_scale3d=10.0)
+    _, st2, stats = refine(scene, st, jax.random.PRNGKey(1), cfg)
+    assert int(stats["n_cull"]) == 1
+    assert not bool(st2.alive[5])
+
+
+def test_capacity_overflow_is_safe():
+    scene, st = _padded(n=18, cap=20)  # only 2 free slots
+    st = st.replace(grad_accum=st.grad_accum.at[:18].set(100.0),
+                    grad_count=st.grad_count.at[:18].set(1.0))
+    scene = scene.replace(scales=jnp.full_like(scene.scales, jnp.log(1e-4)))
+    cfg = DensifyConfig(grad_thresh=1.0, densify_size_thresh=0.1,
+                        cull_scale3d=10.0)
+    scene2, st2, stats = refine(scene, st, jax.random.PRNGKey(1), cfg)
+    assert int(st2.alive.sum()) == 20       # capped, no out-of-bounds writes
+    assert int(stats["n_born"]) == 2
+
+
+def test_reset_opacities_only_alive():
+    scene, st = _padded()
+    out = reset_opacities(scene, st.alive, value=0.01)
+    alive_op = jax.nn.sigmoid(out.opacities[np.asarray(st.alive)])
+    assert float(alive_op.max()) <= 0.0101
+    assert float(out.opacities[10, 0]) == -15.0  # dead untouched
+
+
+@pytest.mark.slow
+def test_pretrain_short_loop_runs_and_improves():
+    from gaussctrl_tpu.cameras.camera import make_cameras
+    from gaussctrl_tpu.splat.densify import DensifyConfig
+    from gaussctrl_tpu.splat.pretrain import PretrainConfig, pretrain
+    from gaussctrl_tpu.splat.render import render_rgbd
+
+    gt_scene = random_scene(jax.random.PRNGKey(5), 60, sh_degree=1, extent=0.4)
+    c2ws = []
+    for i in range(4):
+        a = 2 * np.pi * i / 4
+        pos = np.array([np.sin(a) * 2, 0.0, np.cos(a) * 2])
+        fwd = -pos / np.linalg.norm(pos)
+        right = np.cross(fwd, [0, 1, 0]); right /= np.linalg.norm(right)
+        up = np.cross(right, fwd)
+        c2ws.append(np.stack([right, up, -fwd, pos], axis=1))
+    cams = make_cameras(np.asarray(c2ws, np.float32), 48, 48, 24, 24, 48, 48)
+    gt = jnp.stack([render_rgbd(gt_scene, cams.c2w[i], cams.fx[i], cams.fy[i],
+                                cams.cx[i], cams.cy[i], 48, 48, jnp.zeros(3),
+                                1)["rgb"] for i in range(4)])
+    pts = np.asarray(gt_scene.means[:30])
+    cols = np.full((30, 3), 0.5, np.float32)
+    cfg = PretrainConfig(
+        num_steps=60, capacity_mult=2.0,
+        densify=DensifyConfig(warmup=10, stop_at=50, refine_every=20,
+                              reset_alpha_every=0, grad_thresh=1e-6),
+        sh_degree_interval=10)
+    scene, metrics = pretrain(cams, np.asarray(gt), pts, cols, cfg,
+                              sh_degree=1)
+    assert np.isfinite(float(metrics["loss"]))
+    assert scene.num_gaussians > 0
