@@ -23,16 +23,36 @@ from pathlib import Path
 import numpy as np
 
 
-def _load_scene(ckpt: str):
+def _load_scene(ckpt: str, args=None):
     if str(ckpt).endswith(".npz"):
         from gaussctrl_tpu.core.ckpt import load_scene_npz
-        return load_scene_npz(ckpt)
-    from gaussctrl_tpu.core.ckpt import import_splatfacto_ckpt
-    return import_splatfacto_ckpt(ckpt)[0]
+        scene = load_scene_npz(ckpt)
+    else:
+        from gaussctrl_tpu.core.ckpt import import_splatfacto_ckpt
+        scene = import_splatfacto_ckpt(ckpt)[0]
+    if args is not None and getattr(args, "crop_center", None):
+        scene = _crop(scene, args.crop_center, args.crop_scale)
+    return scene
+
+
+def _crop(scene, center, scale):
+    """Axis-aligned crop box over gaussian means (gc_render.py CropData /
+    gc_model.py:88-93, 123-136 crop filter)."""
+    import jax
+    import numpy as np
+
+    c = np.asarray(center, np.float32)
+    s = np.asarray(scale, np.float32)
+    means = np.asarray(scene.means)
+    keep = np.all(np.abs(means - c) <= s / 2, axis=-1)
+    idx = np.nonzero(keep)[0]
+    print(f"[render] crop box keeps {len(idx)}/{len(means)} gaussians")
+    return jax.tree_util.tree_map(lambda x: x[idx], scene)
 
 
 def _render_views(scene, cams, out_dir: Path, outputs, save_depth_npy=False,
-                  fmt="png", fps=24, colormap_near=None, colormap_far=None):
+                  fmt="png", fps=24, colormap_near=None, colormap_far=None,
+                  background=(0.0, 0.0, 0.0)):
     import jax
     import jax.numpy as jnp
     from PIL import Image
@@ -41,7 +61,7 @@ def _render_views(scene, cams, out_dir: Path, outputs, save_depth_npy=False,
 
     out_dir.mkdir(parents=True, exist_ok=True)
     frames = {o: [] for o in outputs}
-    bg = jnp.zeros(3)
+    bg = jnp.asarray(background, jnp.float32)
     for i in range(len(cams)):
         out = render_camera(scene, cams, jnp.asarray(i), bg)
         for o in outputs:
@@ -53,8 +73,11 @@ def _render_views(scene, cams, out_dir: Path, outputs, save_depth_npy=False,
                     nd = out_dir / "depth_npy"
                     nd.mkdir(exist_ok=True)
                     np.save(nd / f"{i:05d}.npy", d[..., None])
-                near = colormap_near or float(np.percentile(d[d < 999], 2)) if (d < 999).any() else 0.0
-                far = colormap_far or float(np.percentile(d[d < 999], 98)) if (d < 999).any() else 1.0
+                finite = d[d < 999]
+                near = (colormap_near if colormap_near is not None else
+                        float(np.percentile(finite, 2)) if finite.size else 0.0)
+                far = (colormap_far if colormap_far is not None else
+                       float(np.percentile(finite, 98)) if finite.size else 1.0)
                 norm = np.clip((d - near) / max(far - near, 1e-6), 0, 1)
                 arr = (np.stack([norm] * 3, -1) * 255).astype(np.uint8)
             elif o == "accumulation":
@@ -92,11 +115,17 @@ def _dataset_cameras(data: str):
     return DataManager(cfg).cameras
 
 
+def _common_kwargs(args):
+    return dict(colormap_near=args.depth_near, colormap_far=args.depth_far,
+                background=tuple(args.background_color), fps=args.fps)
+
+
 def cmd_dataset(args):
-    scene = _load_scene(args.load_checkpoint)
+    scene = _load_scene(args.load_checkpoint, args)
     cams = _dataset_cameras(args.data)
     _render_views(scene, cams, Path(args.output_path), args.rendered_output_names,
-                  save_depth_npy=args.save_depth_npy, fmt=args.image_format)
+                  save_depth_npy=args.save_depth_npy, fmt=args.image_format,
+                  **_common_kwargs(args))
 
 
 def cmd_camera_path(args):
@@ -113,11 +142,12 @@ def cmd_camera_path(args):
         fxs.append(fy)  # nerfstudio camera paths use square pixels
     cams = make_cameras(np.asarray(c2ws, np.float32), np.asarray(fxs),
                         np.asarray(fys), w / 2, h / 2, w, h)
-    scene = _load_scene(args.load_checkpoint)
+    scene = _load_scene(args.load_checkpoint, args)
     fmt = "video" if args.output_format == "video" else args.image_format
+    kw = _common_kwargs(args)
+    kw["fps"] = float(spec.get("fps", args.fps))
     _render_views(scene, cams, Path(args.output_path),
-                  args.rendered_output_names, fmt=fmt,
-                  fps=float(spec.get("fps", args.fps)))
+                  args.rendered_output_names, fmt=fmt, **kw)
 
 
 def cmd_interpolate(args):
@@ -141,10 +171,10 @@ def cmd_interpolate(args):
         cx=np.full(len(out), float(cams.cx[0]), np.float32),
         cy=np.full(len(out), float(cams.cy[0]), np.float32),
         width=cams.width, height=cams.height)
-    scene = _load_scene(args.load_checkpoint)
+    scene = _load_scene(args.load_checkpoint, args)
     fmt = "video" if args.output_format == "video" else args.image_format
     _render_views(scene, interp, Path(args.output_path),
-                  args.rendered_output_names, fmt=fmt, fps=args.fps)
+                  args.rendered_output_names, fmt=fmt, **_common_kwargs(args))
 
 
 def cmd_spiral(args):
@@ -167,10 +197,10 @@ def cmd_spiral(args):
         cx=np.full(n, float(cams.cx[0]), np.float32),
         cy=np.full(n, float(cams.cy[0]), np.float32),
         width=cams.width, height=cams.height)
-    scene = _load_scene(args.load_checkpoint)
+    scene = _load_scene(args.load_checkpoint, args)
     fmt = "video" if args.output_format == "video" else args.image_format
     _render_views(scene, spiral, Path(args.output_path),
-                  args.rendered_output_names, fmt=fmt, fps=args.fps)
+                  args.rendered_output_names, fmt=fmt, **_common_kwargs(args))
 
 
 def build_parser():
@@ -189,6 +219,16 @@ def build_parser():
         sp.add_argument("--output-format", default="images",
                         choices=["images", "video"])
         sp.add_argument("--fps", type=float, default=24.0)
+        sp.add_argument("--background-color", nargs=3, type=float,
+                        default=[0.0, 0.0, 0.0])
+        sp.add_argument("--depth-near", type=float, default=None,
+                        help="depth colormap near bound (default: 2nd pct)")
+        sp.add_argument("--depth-far", type=float, default=None,
+                        help="depth colormap far bound (default: 98th pct)")
+        sp.add_argument("--crop-center", nargs=3, type=float, default=None,
+                        help="crop box center (scene units)")
+        sp.add_argument("--crop-scale", nargs=3, type=float,
+                        default=[1.0, 1.0, 1.0], help="crop box size")
 
     d = sub.add_parser("dataset", help="render every dataset view")
     common(d)

@@ -46,6 +46,11 @@ def main(argv=None):
         "%Y-%m-%d_%H%M%S")
     out_dir.mkdir(parents=True, exist_ok=True)
     writer = MetricsWriter(str(out_dir), echo_every=200)
+    import json
+    (out_dir / "dataparser_transforms.json").write_text(json.dumps({
+        "transform": np.asarray(parsed.dataparser_transform).tolist(),
+        "scale": float(parsed.dataparser_scale),
+    }, indent=2))
 
     print(f"[splat-train] {len(dm)} views, "
           f"{parsed.points_xyz.shape[0]} seed points, "

@@ -95,6 +95,11 @@ def main(argv=None):
 
     pipe = GaussCtrlPipeline(pcfg, scene, dm.cameras, sd_config=sd_config,
                              masker=masker)
+    # coordinate-recovery record (gc_trainer.py:180-182 contract)
+    (out_dir / "dataparser_transforms.json").write_text(json.dumps({
+        "transform": np.asarray(dm.parsed.dataparser_transform).tolist(),
+        "scale": float(dm.parsed.dataparser_scale),
+    }, indent=2))
     (out_dir / "config.json").write_text(json.dumps({
         "pipeline": dataclasses.asdict(pcfg),
         "datamanager": {k: v for k, v in dataclasses.asdict(dcfg).items()
@@ -103,16 +108,26 @@ def main(argv=None):
     }, indent=2, default=str))
 
     t0 = time.time()
-    pipe.render_reverse(log_fn=log)
+    if pipe.load_artifacts(dm.train_data):
+        log("precomputed artifacts found — skipping render+invert (resume)")
+    else:
+        pipe.render_reverse(log_fn=log)
     log(f"render+invert done in {time.time() - t0:.1f}s")
 
-    # persist resume artifacts (gc_dataparser_ns.py:409-420 contract)
-    for name, arr in (("unedited", pipe.unedited), ("depth_npy", pipe.depths),
-                      ("z_0", pipe.z_T), ("mask_npy", pipe.masks)):
+    # persist resume artifacts in the dataparser's auto-discovery layout
+    # (gc_dataparser_ns.py:409-420: frame_{i+1:05d}, unedited as jpg)
+    from PIL import Image
+    for name, arr in (("depth_npy", pipe.depths), ("z_0", pipe.z_T),
+                      ("mask_npy", pipe.masks)):
         d = out_dir / name
         d.mkdir(exist_ok=True)
         for i in range(arr.shape[0]):
-            np.save(d / f"{i:05d}.npy", np.asarray(arr[i]))
+            np.save(d / f"frame_{i + 1:05d}.npy", np.asarray(arr[i]))
+    d = out_dir / "unedited"
+    d.mkdir(exist_ok=True)
+    for i in range(pipe.unedited.shape[0]):
+        img = np.asarray(np.clip(pipe.unedited[i], 0, 1) * 255).astype(np.uint8)
+        Image.fromarray(img).save(d / f"frame_{i + 1:05d}.jpg")
 
     t1 = time.time()
     pipe.edit_images(log_fn=log)
@@ -123,17 +138,16 @@ def main(argv=None):
     _save_images(ed, pipe.edited)
 
     t2 = time.time()
-    saves = []
 
-    def ckpt_log(s, metrics):
-        log(f"re-opt step {s}: {metrics}")
+    def ckpt_fn(s, scene):
+        # step-numbered, latest-only (gc_trainer.py:147-174)
+        path = save_checkpoint(out_dir / "ckpts", step + s, scene)
+        log(f"saved {path}")
 
-    pipe.reoptimize(train_cfg=tcfg, log_fn=ckpt_log)
+    pipe.reoptimize(train_cfg=tcfg,
+                    log_fn=lambda s, m: log(f"re-opt step {s}: {m}"),
+                    ckpt_every=args.steps_per_save, ckpt_fn=ckpt_fn)
     log(f"re-optimization ({pcfg.render_rate} steps) done in {time.time() - t2:.1f}s")
-
-    final_step = step + pcfg.render_rate
-    path = save_checkpoint(out_dir / "ckpts", final_step, pipe.scene)
-    log(f"saved {path}")
     log(f"total wall-clock {time.time() - t0:.1f}s")
     return out_dir
 

@@ -49,18 +49,27 @@ def _load_image(path) -> np.ndarray:
 
 def _undistort(image: np.ndarray, K: np.ndarray, dist6: np.ndarray,
                width: int, height: int):
-    """cv2 undistort + ROI crop + resize back to (width, height).
+    """Undistortion of a cached view (gc_datamanager.py:112-186 role).
 
-    dist6 is (k1, k2, k3, k4, p1, p2) nerfstudio order; cv2 wants
-    (k1, k2, p1, p2, k3, k4).
+    dist6 is (k1, k2, k3, k4, p1, p2) nerfstudio order. Fast path: the native
+    multithreaded remap (gaussctrl_tpu.native, newK == K so intrinsics and
+    shapes stay static). Fallback: cv2 with optimal-new-camera ROI crop +
+    resize back, matching the reference's cv2 pipeline.
     """
+    if not np.any(dist6):
+        return image, K
+
+    from gaussctrl_tpu import native
+    if native.available():
+        out = native.undistort(image, K[0, 0], K[1, 1], K[0, 2], K[1, 2],
+                               np.asarray(dist6, np.float64))
+        return out, K
+
     import cv2
 
     # cv2 order (k1,k2,p1,p2,k3[,k4,k5,k6]) — pad to the 8-coeff model
     d = np.array([dist6[0], dist6[1], dist6[4], dist6[5], dist6[2], dist6[3],
                   0.0, 0.0], np.float64)
-    if not np.any(d):
-        return image, K
     newK, roi = cv2.getOptimalNewCameraMatrix(K, d, (image.shape[1], image.shape[0]), 0)
     und = cv2.undistort(image, K, d, None, newK)
     x, y, w, h = roi

@@ -24,7 +24,7 @@ import dataclasses
 
 import jax.numpy as jnp
 
-from gaussctrl_tpu.diffusion.nn import attention
+from gaussctrl_tpu.diffusion.nn import _use_flash, attention_einsum as attention
 
 
 @dataclasses.dataclass(frozen=True)
@@ -38,6 +38,17 @@ class CrossViewAttnProcessor:
         g, r = self.cfg_groups, self.num_refs
         f = b // g
         assert b % g == 0 and r <= f, (b, g, r)
+
+        import os
+        if os.environ.get("GAUSSCTRL_FUSED_XVIEW") == "1" and _use_flash(t, t):
+            # experimental fused Pallas path (self + all ref branches in one
+            # kernel). Measured SLOWER than the XLA einsum path on v5e at the
+            # reference operating point (0.71s vs 0.40s per edit eval) — the
+            # per-branch K/V re-streaming doesn't beat XLA's fusion here, so
+            # it is opt-in until the streaming schedule is fixed.
+            from gaussctrl_tpu.ops.crossview_attention import crossview_attention
+            return crossview_attention(q, k, v, r, self.self_attn_coeff,
+                                       g, heads)
 
         out = 0.0
         if self.self_attn_coeff != 0.0:

@@ -153,6 +153,45 @@ class GaussCtrlPipeline:
             return x
         return jax.device_put(x, shard_views(self.mesh))
 
+    def load_artifacts(self, train_data) -> bool:
+        """Adopt precomputed edit artifacts from a datamanager's train_data
+        (the resume path: the dataparser auto-discovers unedited/ depth_npy/
+        z_0/ mask_npy/ dirs, gc_dataparser_ns.py:409-420). Returns True when
+        every view is covered so render_reverse() can be skipped."""
+        needed = ("unedited_image", "depth_image", "z_0_image")
+        if not train_data or not all(
+                all(k in d for k in needed) for d in train_data):
+            return False
+        # stored layouts follow the reference: depth [1,H,W] or [H,W,1],
+        # z0 [(1,)4,h,w] channel-first or [h,w,4]
+        def fix_depth(x):
+            x = jnp.asarray(x)
+            if x.ndim == 3 and x.shape[0] == 1:
+                x = x[0]
+            return x if x.ndim == 3 else x[..., None]
+
+        def fix_z0(x):
+            x = jnp.asarray(x)
+            if x.ndim == 4:
+                x = x[0]
+            if x.shape[0] == 4 and x.shape[-1] != 4:
+                x = x.transpose(1, 2, 0)
+            return x
+
+        self.unedited = jnp.stack(
+            [jnp.asarray(d["unedited_image"]) for d in train_data])
+        self.depths = jnp.stack([fix_depth(d["depth_image"])
+                                 for d in train_data])
+        self.z_T = jnp.stack([fix_z0(d["z_0_image"]) for d in train_data])
+        if all("mask_image" in d for d in train_data):
+            m = jnp.stack([jnp.asarray(d["mask_image"]) for d in train_data])
+            self.masks = m if m.ndim == 4 else m[..., None]
+        else:
+            self.masks = jnp.ones(self.unedited.shape[:3] + (1,),
+                                  self.unedited.dtype)
+        self.disparity = depth_to_disparity(self.depths)
+        return True
+
     # -- stage 1: render + invert (gc_pipeline.py:122-157) ----------------
     def render_reverse(self, log_fn=None):
         cams = self.cameras
@@ -274,13 +313,15 @@ class GaussCtrlPipeline:
 
     # -- stage 3: re-optimization (gc_trainer.py:176-255) ------------------
     def reoptimize(self, num_steps: Optional[int] = None,
-                   train_cfg: TrainConfig = TrainConfig(), log_fn=None):
+                   train_cfg: TrainConfig = TrainConfig(), log_fn=None,
+                   ckpt_every: int = 0, ckpt_fn=None):
         assert self.edited is not None, "run edit_images() first"
         steps = num_steps if num_steps is not None else self.config.render_rate
         self.scene, metrics = reoptimize(
             self.scene, self.cameras, self.edited, steps,
             seed=self.config.seed, raster_cfg=self.raster_cfg,
-            train_cfg=train_cfg, log_fn=log_fn)
+            train_cfg=train_cfg, log_fn=log_fn,
+            ckpt_every=ckpt_every, ckpt_fn=ckpt_fn)
         return metrics
 
     def run(self, log_fn=None):

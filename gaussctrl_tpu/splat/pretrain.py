@@ -44,6 +44,20 @@ class PretrainConfig:
     train: TrainConfig = TrainConfig(lr_step_offset=0)
 
 
+def _reset_newborn_moments(opt_state, born: jnp.ndarray):
+    """Zero Adam mu/nu rows of freshly-born gaussian slots, preserving the
+    moments of surviving ones (splatfacto keeps optimizer state across
+    densification; a full reset would stall convergence every refine)."""
+    cap = born.shape[0]
+
+    def f(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == cap:
+            return jnp.where(born.reshape((-1,) + (1,) * (x.ndim - 1)), 0, x)
+        return x
+
+    return jax.tree_util.tree_map(f, opt_state)
+
+
 @partial(jax.jit, static_argnames=("width", "height", "sh_degree",
                                    "raster_cfg", "train_cfg"),
          donate_argnames=("scene", "opt_state", "dstate"))
@@ -122,13 +136,16 @@ def pretrain(
 
         in_window = d.warmup < step < d.stop_at
         if in_window and step % d.refine_every == 0:
+            alive_before = np.asarray(dstate.alive)  # refine() donates
             scene, dstate, stats = refine(scene, dstate, keys[-1], d)
-            opt_state = optimizer.init(scene)  # fresh moments for new slots
+            born = jnp.asarray(np.asarray(dstate.alive) & ~alive_before)
+            opt_state = _reset_newborn_moments(opt_state, born)
             if log_fn:
                 log_fn(step, {k: int(v) for k, v in stats.items()})
         if in_window and d.reset_alpha_every and step % d.reset_alpha_every == 0 \
                 and step > 0:
             scene = reset_opacities(scene, dstate.alive)
+            # opacity histories are stale after the clamp
             opt_state = optimizer.init(scene)
         if log_fn and step % 200 == 0:
             log_fn(step, {k: float(x) for k, x in metrics.items()})

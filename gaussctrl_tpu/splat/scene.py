@@ -75,11 +75,13 @@ def from_points(points: np.ndarray, colors: np.ndarray, sh_degree: int = 3,
     C0 = 0.28209479177387814
     num_rest = (sh_degree + 1) ** 2 - 1
     # mean distance to 3 nearest neighbours sets the initial scale
-    # (coarse O(N^2) on host; splatfacto does the same via simple_knn)
+    # (the simple_knn role; native grid-hash KNN when built, else O(N^2))
     pts = np.asarray(points, np.float32)
-    sub = pts[np.random.default_rng(0).permutation(n)[: min(n, 5000)]]
-    d2 = ((pts[:, None, :] - sub[None, :, :]) ** 2).sum(-1) if n <= 20000 else None
-    if d2 is not None:
+    from gaussctrl_tpu import native
+    if native.available():
+        nn = np.maximum(native.knn_mean_dist(pts, 3), 1e-6)
+    elif n <= 20000:
+        d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
         d2_sorted = np.sort(d2, axis=1)
         nn = np.sqrt(np.maximum(d2_sorted[:, 1:4].mean(axis=1), 1e-12))
     else:

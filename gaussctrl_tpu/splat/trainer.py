@@ -129,10 +129,14 @@ def reoptimize(
     train_cfg: TrainConfig = TrainConfig(),
     log_every: int = 50,
     log_fn=None,
+    ckpt_every: int = 0,
+    ckpt_fn=None,
 ):
     """Re-optimize the scene against edited views (gc_trainer.py:176-255).
 
     View order: random without replacement per epoch (gc_datamanager.py:218-222).
+    `ckpt_fn(step, scene)` fires every `ckpt_every` steps and at the end
+    (steps_per_save=250 + final save, gc_trainer.py:229-235).
     """
     import numpy as np
 
@@ -155,4 +159,8 @@ def reoptimize(
         )
         if log_fn is not None and (i + 1) % log_every == 0:
             log_fn(i + 1, {k: float(v) for k, v in metrics.items()})
+        if ckpt_fn is not None and ckpt_every and (i + 1) % ckpt_every == 0:
+            ckpt_fn(i + 1, scene)
+    if ckpt_fn is not None:
+        ckpt_fn(num_steps, scene)
     return scene, metrics

@@ -59,8 +59,10 @@ def test_train_cli_end_to_end(scene_dir, tmp_path):
     ])
     assert (out / "config.json").exists()
     assert len(list((out / "edited").glob("*.png"))) == 4
-    for artifact in ("unedited", "depth_npy", "z_0", "mask_npy"):
-        assert len(list((out / artifact).glob("*.npy"))) == 4
+    # artifact layout follows the dataparser's auto-discovery contract
+    for artifact in ("depth_npy", "z_0", "mask_npy"):
+        assert len(list((out / artifact).glob("frame_*.npy"))) == 4
+    assert len(list((out / "unedited").glob("frame_*.jpg"))) == 4
     ckpts = list((out / "ckpts").glob("step-*.npz"))
     assert len(ckpts) == 1
     # edited ckpt renders through the render CLI

@@ -100,6 +100,34 @@ def test_pipeline_mask_composite():
 
 
 @pytest.mark.slow
+def test_pipeline_artifact_resume_roundtrip():
+    """Artifacts dumped in the reference layout reload into an equivalent
+    pipeline state (the interrupted-edit resume path)."""
+    pipe = _setup(V=5, chunk_size=0)
+    pipe.render_reverse()
+    train_data = [
+        {"unedited_image": np.asarray(pipe.unedited[i]),
+         # reference layouts: depth [1,H,W], z0 [1,4,h,w] channel-first
+         "depth_image": np.asarray(pipe.depths[i]).transpose(2, 0, 1),
+         "z_0_image": np.asarray(pipe.z_T[i]).transpose(2, 0, 1)[None],
+         "mask_image": np.asarray(pipe.masks[i][..., 0])}
+        for i in range(5)]
+
+    pipe2 = _setup(V=5, chunk_size=0)
+    assert pipe2.load_artifacts(train_data)
+    np.testing.assert_allclose(np.asarray(pipe2.z_T), np.asarray(pipe.z_T),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(pipe2.depths),
+                               np.asarray(pipe.depths), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(pipe2.disparity),
+                               np.asarray(pipe.disparity), atol=1e-5)
+    pipe2.edit_images()
+    assert pipe2.edited.shape == (5, 64, 64, 3)
+    # incomplete artifacts must refuse (forcing a fresh render_reverse)
+    assert not _setup(V=5).load_artifacts(train_data[:-1] + [{}])
+
+
+@pytest.mark.slow
 def test_pipeline_reoptimize_improves_loss():
     pipe = _setup(V=5, chunk_size=0)
     pipe.render_reverse()
