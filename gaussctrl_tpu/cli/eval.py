@@ -1,0 +1,59 @@
+"""`python -m gaussctrl_tpu.cli.eval` — edit-quality metrics.
+
+The reference defers evaluation to instruct-nerf2nerf's CLIP metrics code
+(/root/reference/README.md:160-161); here it is a first-class command:
+CLIP text-image similarity of the edited renders against the edit prompt,
+and CLIP directional similarity of (original -> edited) against
+(reverse prompt -> edit prompt). Prints one JSON object.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import numpy as np
+
+
+def _load_images(d: Path) -> np.ndarray:
+    from PIL import Image
+
+    files = sorted(list(d.glob("*.png")) + list(d.glob("*.jpg")))
+    assert files, f"no images in {d}"
+    return np.stack([np.asarray(Image.open(f).convert("RGB"), np.float32) / 255.0
+                     for f in files])
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="gaussctrl-eval")
+    p.add_argument("--edited", required=True, help="dir of edited renders")
+    p.add_argument("--original", default=None, help="dir of unedited renders")
+    p.add_argument("--edit-prompt", required=True)
+    p.add_argument("--reverse-prompt", default=None)
+    p.add_argument("--clip-ckpt", default="",
+                   help="local HF CLIPModel dir (random towers if omitted — "
+                        "numbers are then only self-consistent)")
+    args = p.parse_args(argv)
+
+    from gaussctrl_tpu.metrics import (
+        CLIPScorer, clip_directional_similarity, clip_similarity,
+    )
+
+    scorer = CLIPScorer.from_dir(args.clip_ckpt or None)
+    edited = _load_images(Path(args.edited))
+    out = {
+        "clip_similarity": clip_similarity(scorer, edited, args.edit_prompt),
+        "num_views": int(edited.shape[0]),
+        "real_clip_weights": bool(args.clip_ckpt),
+    }
+    if args.original and args.reverse_prompt:
+        original = _load_images(Path(args.original))
+        out["clip_directional_similarity"] = clip_directional_similarity(
+            scorer, edited, original, args.edit_prompt, args.reverse_prompt)
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    main()

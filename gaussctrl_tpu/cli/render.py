@@ -52,7 +52,7 @@ def _crop(scene, center, scale):
 
 def _render_views(scene, cams, out_dir: Path, outputs, save_depth_npy=False,
                   fmt="png", fps=24, colormap_near=None, colormap_far=None,
-                  background=(0.0, 0.0, 0.0)):
+                  background=(0.0, 0.0, 0.0), companions=None):
     import jax
     import jax.numpy as jnp
     from PIL import Image
@@ -85,6 +85,13 @@ def _render_views(scene, cams, out_dir: Path, outputs, save_depth_npy=False,
                 arr = (np.stack([a] * 3, -1) * 255).astype(np.uint8)
             else:
                 raise ValueError(f"unknown output {o}")
+            if companions is not None:
+                comp = companions[i]
+                if comp.shape[:2] != arr.shape[:2]:
+                    from PIL import Image as _I
+                    comp = np.asarray(_I.fromarray(comp).resize(
+                        (arr.shape[1], arr.shape[0])))
+                arr = np.concatenate([arr, comp], axis=1)
             frames[o].append(arr)
         print(f"[render] view {i + 1}/{len(cams)}", flush=True)
 
@@ -146,6 +153,18 @@ def cmd_camera_path(args):
     fmt = "video" if args.output_format == "video" else args.image_format
     kw = _common_kwargs(args)
     kw["fps"] = float(spec.get("fps", args.fps))
+    if args.side_by_side and args.data:
+        from gaussctrl_tpu.data.datamanager import DataManager, DataManagerConfig
+        dcfg = DataManagerConfig(load_all=True)
+        dcfg.dataparser.data = args.data
+        dm = DataManager(dcfg)
+        train_pos = np.asarray(dm.cameras.c2w)[:, :3, 3]
+        companions = []
+        for m in c2ws:
+            i = int(np.argmin(np.linalg.norm(train_pos - m[:3, 3], axis=-1)))
+            img = dm.train_data[i]["image"]
+            companions.append((np.clip(img, 0, 1) * 255).astype(np.uint8))
+        kw["companions"] = companions
     _render_views(scene, cams, Path(args.output_path),
                   args.rendered_output_names, fmt=fmt, **kw)
 
@@ -238,6 +257,11 @@ def build_parser():
     c = sub.add_parser("camera-path", help="render a camera-path JSON")
     common(c, needs_data=False)
     c.add_argument("--camera-path-filename", required=True)
+    c.add_argument("--data", default=None,
+                   help="dataset dir for --side-by-side")
+    c.add_argument("--side-by-side", action="store_true",
+                   help="hstack the nearest training view next to each frame "
+                        "(gc_render.py nearest-camera comparison)")
     c.set_defaults(fn=cmd_camera_path)
 
     i = sub.add_parser("interpolate", help="interpolate dataset cameras")

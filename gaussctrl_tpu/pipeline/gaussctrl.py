@@ -121,7 +121,8 @@ class GaussCtrlPipeline:
                 sd_params = load_sd_params(config.diffusion_ckpt,
                                            config.controlnet_ckpt)
             else:
-                sd_params = self.models.init_params(jax.random.PRNGKey(0))
+                sd_params = jax.jit(self.models.init_params)(
+                    jax.random.PRNGKey(0))
         self.params = sd_params
         self.sched = DDIMSchedule.sd15()
         self.tokenizer = load_tokenizer(config.diffusion_ckpt or None,
