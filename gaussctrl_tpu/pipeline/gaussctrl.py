@@ -123,7 +123,10 @@ class GaussCtrlPipeline:
             else:
                 sd_params = jax.jit(self.models.init_params)(
                     jax.random.PRNGKey(0))
-        self.params = sd_params
+        # inference-only stack: keep params in the compute dtype (bf16 by
+        # default) — halves HBM residency and weight-streaming traffic
+        self.params = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x, dtype), sd_params)
         self.sched = DDIMSchedule.sd15()
         self.tokenizer = load_tokenizer(config.diffusion_ckpt or None,
                                         self.sd_config.text)
@@ -221,17 +224,19 @@ class GaussCtrlPipeline:
         # DDIM inversion with the reverse prompt, guidance 0
         reverse = self.config.reverse_prompt + POSITIVE_SUFFIX
         zs = []
-        inv = jax.jit(lambda lat, ctx, disp: invert(
-            self.models, self.params, self.sched, lat, ctx, disp,
+        # params travel as jit ARGUMENTS — closing over them would bake the
+        # multi-GB tree into the compiled graph as constants
+        inv = jax.jit(lambda p, lat, ctx, disp: invert(
+            self.models, p, self.sched, lat, ctx, disp,
             self.config.num_inference_steps, self.config.conditioning_scale))
-        enc = jax.jit(lambda imgs: vae_encode(self.models, self.params, imgs))
+        enc = jax.jit(lambda p, imgs: vae_encode(self.models, p, imgs))
         for lo in range(0, V, bs):
             hi = min(lo + bs, V)
             n = hi - lo
             imgs = _pad_to(self.unedited[lo:hi], bs)
             disp = _pad_to(self.disparity[lo:hi], bs)
-            z0 = enc(self._shard(imgs))
-            zT = inv(z0, self._ctx(reverse, bs), self._shard(disp))
+            z0 = enc(self.params, self._shard(imgs))
+            zT = inv(self.params, z0, self._ctx(reverse, bs), self._shard(disp))
             zs.append(zT[:n])
             if log_fn:
                 log_fn(f"inverted views {lo}..{hi - 1}")
@@ -259,9 +264,9 @@ class GaussCtrlPipeline:
         guided = cfg.guidance_scale > 1.0
         groups = 2 if guided else 1
 
-        def _run_batch(z, disp, ctx_p, ctx_n, nrefs):
+        def _run_batch(p, z, disp, ctx_p, ctx_n, nrefs):
             return denoise(
-                self.models, self.params, self.sched, z, ctx_p, ctx_n,
+                self.models, p, self.sched, z, ctx_p, ctx_n,
                 disp, cfg.guidance_scale, cfg.num_inference_steps,
                 cfg.conditioning_scale,
                 unet_processor=CrossViewAttnProcessor(nrefs, cfg.self_attn_coeff, groups),
@@ -271,7 +276,7 @@ class GaussCtrlPipeline:
 
         def run_batch(z, disp, nrefs):
             b = z.shape[0]
-            return _run_batch(z, disp, self._ctx(edit_prompt, b),
+            return _run_batch(self.params, z, disp, self._ctx(edit_prompt, b),
                               self._ctx(NEGATIVE_PROMPT, b), nrefs)
 
         edited_lat = [None] * V
@@ -305,7 +310,8 @@ class GaussCtrlPipeline:
                     log_fn(f"edited chunk {chunk}")
         lat = jnp.stack(edited_lat)
 
-        imgs = jax.jit(lambda z: vae_decode(self.models, self.params, z))(lat)
+        imgs = jax.jit(lambda p, z: vae_decode(self.models, p, z))(
+            self.params, lat)
         # mask compositing: edit foreground over unedited background
         # (gc_pipeline.py:223-234)
         m = self.masks
