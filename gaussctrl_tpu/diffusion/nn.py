@@ -29,20 +29,23 @@ from flax import linen as nn
 AttnProcessor = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray, int], jnp.ndarray]
 
 
-def _use_flash(tq: int, tk: int) -> bool:
+def _use_flash(tq: int, tk: int, head_dim: int = 128) -> bool:
     """Flash-kernel routing: GAUSSCTRL_FLASH=1 forces, =0 disables, default
-    auto — on for TPU backends at sequence lengths where streaming K/V wins."""
+    auto — on for TPU backends at sequence lengths where streaming K/V wins.
+    Wide heads (VAE's single 512-d head) stay on einsum: the whole-K/V-in-VMEM
+    kernel would exceed the 16MB scoped VMEM budget."""
     flag = os.environ.get("GAUSSCTRL_FLASH", "auto")
     if flag == "0":
         return False
     if flag == "1":
         return True
-    return jax.default_backend() == "tpu" and tq >= 256 and tk >= 256
+    return (jax.default_backend() == "tpu" and tq >= 256 and tk >= 256
+            and head_dim <= 128)
 
 
 def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, heads: int) -> jnp.ndarray:
     """Multi-head scaled dot-product attention. q [B,Tq,C], k/v [B,Tk,C]."""
-    if _use_flash(q.shape[1], k.shape[1]):
+    if _use_flash(q.shape[1], k.shape[1], q.shape[2] // heads):
         from gaussctrl_tpu.ops.flash_attention import flash_attention
         return flash_attention(q, k, v, heads)
     return attention_einsum(q, k, v, heads)

@@ -161,6 +161,6 @@ def reoptimize(
             log_fn(i + 1, {k: float(v) for k, v in metrics.items()})
         if ckpt_fn is not None and ckpt_every and (i + 1) % ckpt_every == 0:
             ckpt_fn(i + 1, scene)
-    if ckpt_fn is not None:
-        ckpt_fn(num_steps, scene)
+    if ckpt_fn is not None and not (ckpt_every and num_steps % ckpt_every == 0):
+        ckpt_fn(num_steps, scene)  # final save unless the loop just saved
     return scene, metrics
