@@ -38,6 +38,8 @@ def _timeit(fn, *args, warmup=2, iters=3):
 
 
 def main():
+    from gaussctrl_tpu.core.mesh import enable_persistent_cache
+    enable_persistent_cache()
     from gaussctrl_tpu.diffusion.config import SDConfig
     from gaussctrl_tpu.diffusion.processors import CrossViewAttnProcessor
     from gaussctrl_tpu.diffusion.sample import SDModels, eps_model

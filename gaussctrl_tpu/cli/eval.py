@@ -34,6 +34,8 @@ def main(argv=None):
     p.add_argument("--clip-ckpt", default="",
                    help="local HF CLIPModel dir (random towers if omitted — "
                         "numbers are then only self-consistent)")
+    from gaussctrl_tpu.core.mesh import enable_persistent_cache
+    enable_persistent_cache()
     args = p.parse_args(argv)
 
     from gaussctrl_tpu.metrics import (

@@ -278,6 +278,8 @@ def build_parser():
 
 
 def main(argv=None):
+    from gaussctrl_tpu.core.mesh import enable_persistent_cache
+    enable_persistent_cache()
     args = build_parser().parse_args(argv)
     args.fn(args)
 

@@ -31,6 +31,8 @@ def main(argv=None):
     p.add_argument("--sh-degree", type=int, default=3)
     p.add_argument("--seed", type=int, default=0)
     add_dataclass_flags(p, PretrainConfig, "trainer")
+    from gaussctrl_tpu.core.mesh import enable_persistent_cache
+    enable_persistent_cache()
     args = p.parse_args(argv)
 
     cfg = apply_overrides(PretrainConfig(), args, "trainer")

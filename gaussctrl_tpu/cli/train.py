@@ -57,6 +57,8 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    from gaussctrl_tpu.core.mesh import enable_persistent_cache
+    enable_persistent_cache()
     args = build_parser().parse_args(argv)
     pcfg = apply_overrides(GaussCtrlConfig(), args, "pipeline")
     dcfg = apply_overrides(DataManagerConfig(), args, "pipeline.datamanager")

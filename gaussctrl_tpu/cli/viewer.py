@@ -14,6 +14,8 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=7007)
     p.add_argument("--width", type=int, default=512)
     p.add_argument("--height", type=int, default=512)
+    from gaussctrl_tpu.core.mesh import enable_persistent_cache
+    enable_persistent_cache()
     args = p.parse_args(argv)
 
     if str(args.load_checkpoint).endswith(".npz"):

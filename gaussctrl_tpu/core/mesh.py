@@ -12,11 +12,30 @@ allgather). Replaces the reference's single-GPU `cuda:0` pin
 
 from __future__ import annotations
 
+import os
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 VIEW_AXIS = "view"
+
+
+def enable_persistent_cache(cache_dir: str | None = None) -> None:
+    """Turn on JAX's persistent compilation cache (compiles of the SD stack
+    take minutes on this hardware; across CLI invocations they are identical).
+    Safe to call multiple times; GAUSSCTRL_NO_CACHE=1 disables."""
+    if os.environ.get("GAUSSCTRL_NO_CACHE") == "1":
+        return
+    cache_dir = cache_dir or os.environ.get(
+        "GAUSSCTRL_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "gaussctrl_jax"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass  # older jax without the knobs — run uncached
 
 
 def make_mesh(devices=None, axis_name: str = VIEW_AXIS) -> Mesh:
