@@ -150,6 +150,43 @@ def test_vae_port_roundtrip(tiny_params):
     _assert_same_tree(converted, tiny_params["vae"], "vae")
 
 
+def test_clip_vision_port_roundtrip():
+    import jax.numpy as jnp
+
+    from gaussctrl_tpu.diffusion.clip import CLIPVisionConfig, CLIPVisionModel
+    from gaussctrl_tpu.diffusion.weights import convert_clip_vision
+
+    cfg = CLIPVisionConfig.tiny()
+    model = CLIPVisionModel(cfg)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, cfg.image_size, cfg.image_size, 3))
+                        )["params"]
+    sd = {}
+    for path, arr in _flatten(params):
+        arr = np.asarray(arr)
+        if path == "class_embedding":
+            sd["vision_model.embeddings.class_embedding"] = arr
+        elif path == "patch_embedding/kernel":
+            sd["vision_model.embeddings.patch_embedding.weight"] = (
+                arr.transpose(3, 2, 0, 1))
+        elif path == "position_embedding":
+            sd["vision_model.embeddings.position_embedding.weight"] = arr
+        elif path.startswith("layers_"):
+            k, v = _torchify(path, arr, False)
+            k = re.sub(r"(layers\.\d+\.)(fc[12]\.)", r"\1mlp.\2", k)
+            sd["vision_model.encoder." + k] = v
+        else:  # pre_layrnorm / post_layernorm
+            k, v = _torchify(path, arr, False)
+            sd["vision_model." + k] = v
+    converted = convert_clip_vision(sd)
+    _assert_same_tree(converted, params, "clip_vision")
+    out = model.apply({"params": jax.tree_util.tree_map(jnp.asarray, converted)},
+                      jnp.ones((1, cfg.image_size, cfg.image_size, 3)))
+    ref = model.apply({"params": params},
+                      jnp.ones((1, cfg.image_size, cfg.image_size, 3)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
 def test_clip_port_roundtrip(tiny_params):
     converted = convert_clip_text(_fake_clip_sd(tiny_params["text"]))
     _assert_same_tree(converted, tiny_params["text"], "text")
