@@ -204,19 +204,21 @@ class GaussCtrlPipeline:
         sh = self.scene.sh_degree
 
         render_batch = jax.jit(jax.vmap(
-            lambda c2w, fx, fy, cx, cy: render_rgbd(
-                self.scene, c2w, fx, fy, cx, cy, cams.width, cams.height,
-                jnp.zeros(3), sh, self.raster_cfg)))
+            lambda scene, c2w, fx, fy, cx, cy: render_rgbd(
+                scene, c2w, fx, fy, cx, cy, cams.width, cams.height,
+                jnp.zeros(3), sh, self.raster_cfg),
+            in_axes=(None, 0, 0, 0, 0, 0)))
 
         rgbs, depths = [], []
         for lo in range(0, V, bs):
-            idx = np.arange(lo, min(lo + bs, V))
-            out = render_batch(cams.c2w[idx], cams.fx[idx], cams.fy[idx],
-                               cams.cx[idx], cams.cy[idx])
-            rgbs.append(out["rgb"])
-            depths.append(out["depth"])
+            hi = min(lo + bs, V)
+            idx = np.minimum(np.arange(lo, lo + bs), V - 1)  # pad w/ last view
+            out = render_batch(self.scene, cams.c2w[idx], cams.fx[idx],
+                               cams.fy[idx], cams.cx[idx], cams.cy[idx])
+            rgbs.append(out["rgb"][: hi - lo])
+            depths.append(out["depth"][: hi - lo])
             if log_fn:
-                log_fn(f"rendered views {lo}..{idx[-1]}")
+                log_fn(f"rendered views {lo}..{hi - 1}")
         self.unedited = jnp.concatenate(rgbs)
         self.depths = jnp.concatenate(depths)
         self.disparity = depth_to_disparity(self.depths)

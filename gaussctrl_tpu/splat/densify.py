@@ -33,7 +33,10 @@ from gaussctrl_tpu.splat.scene import GaussianScene
 
 @struct.dataclass
 class DensifyConfig:
-    grad_thresh: float = struct.field(pytree_node=False, default=0.0002)
+    # calibrated on the bear scene to select ~the top decile of the
+    # accumulated pixel-gradient criterion early in training (the classic
+    # 3DGS 2e-4 threshold applies to a differently-normalized statistic)
+    grad_thresh: float = struct.field(pytree_node=False, default=0.02)
     densify_size_thresh: float = struct.field(pytree_node=False, default=0.01)
     cull_opacity: float = struct.field(pytree_node=False, default=0.005)
     cull_scale3d: float = struct.field(pytree_node=False, default=0.5)
