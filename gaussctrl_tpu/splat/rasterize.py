@@ -45,9 +45,10 @@ T_EPS = 1e-4
 @struct.dataclass
 class RasterConfig:
     tile_size: int = struct.field(pytree_node=False, default=16)
-    # static per-gaussian tile window (clamps giant gaussians' footprints)
-    max_tiles_x: int = struct.field(pytree_node=False, default=8)
-    max_tiles_y: int = struct.field(pytree_node=False, default=8)
+    # static per-gaussian tile window (clamps giant gaussians' footprints;
+    # the window is centered on the gaussian when clamped)
+    max_tiles_x: int = struct.field(pytree_node=False, default=16)
+    max_tiles_y: int = struct.field(pytree_node=False, default=16)
     # intersection buffer capacity = max(cap_multiplier * N, min_cap)
     cap_multiplier: int = struct.field(pytree_node=False, default=16)
     min_cap: int = struct.field(pytree_node=False, default=4096)
@@ -85,6 +86,13 @@ def _bin_and_sort(xys, depths, radii, n_tiles_x, n_tiles_y, cfg: RasterConfig):
     tmax_y = jnp.clip(jnp.ceil((xys[:, 1] + radii + 1) / ts), 1, n_tiles_y).astype(jnp.int32)
     span_x = jnp.where(alive, jnp.minimum(tmax_x - tmin_x, kx), 0)
     span_y = jnp.where(alive, jnp.minimum(tmax_y - tmin_y, ky), 0)
+    # when the footprint exceeds the static window, CENTER the window on the
+    # gaussian's center tile (a top-left-anchored window drops the right/
+    # bottom tiles of large gaussians — visible tile-square dropouts)
+    ctile_x = jnp.clip((xys[:, 0] / ts).astype(jnp.int32), 0, n_tiles_x - 1)
+    ctile_y = jnp.clip((xys[:, 1] / ts).astype(jnp.int32), 0, n_tiles_y - 1)
+    start_x = jnp.clip(ctile_x - span_x // 2, tmin_x, tmax_x - span_x)
+    start_y = jnp.clip(ctile_y - span_y // 2, tmin_y, tmax_y - span_y)
     counts = span_x * span_y                             # [N]
     offsets = jnp.cumsum(counts) - counts                # exclusive prefix sum
 
@@ -93,8 +101,8 @@ def _bin_and_sort(xys, depths, radii, n_tiles_x, n_tiles_y, cfg: RasterConfig):
     dy = (slot // kx)[None, :]
     dx = (slot % kx)[None, :]
     valid = (dy < span_y[:, None]) & (dx < span_x[:, None])
-    tile_x = tmin_x[:, None] + dx
-    tile_y = tmin_y[:, None] + dy
+    tile_x = start_x[:, None] + dx
+    tile_y = start_y[:, None] + dy
     tile_id = tile_y * n_tiles_x + tile_x                # [N, K2]
     # dense position within this gaussian's run
     pos_in_run = dy * span_x[:, None] + dx
@@ -217,6 +225,12 @@ def rasterize(
     ts = cfg.tile_size
     n_tiles_x = (width + ts - 1) // ts
     n_tiles_y = (height + ts - 1) // ts
+    # exact no-op prune: peak alpha = opacity (at the gaussian center), so
+    # anything below the blend threshold can never contribute — keeping such
+    # gaussians only burns tile capacity (they caused visible tile dropouts
+    # on dense low-opacity scenes)
+    radii = jnp.where(
+        jax.lax.stop_gradient(opacities) >= ALPHA_THRESH, radii, 0)
     binned = _bin_and_sort(xys, depths, radii, n_tiles_x, n_tiles_y, cfg)
     tiles, tile_alpha = _blend_tiles(
         binned, xys, conics, colors, opacities, background, n_tiles_x, n_tiles_y, cfg
@@ -224,5 +238,10 @@ def rasterize(
     img = _tiles_to_image(tiles, n_tiles_x, n_tiles_y, height, width, ts, colors.shape[-1])
     alpha = _tiles_to_image(tile_alpha, n_tiles_x, n_tiles_y, height, width, ts)
     if return_stats:
-        return img, alpha, {"n_isect": binned.n_isect}
+        return img, alpha, {
+            "n_isect": binned.n_isect,
+            # > cfg.tile_capacity ⇒ the furthest gaussians of some tiles were
+            # truncated (raise tile_capacity if it shows visually)
+            "max_tile_count": (binned.ends - binned.starts).max(),
+        }
     return img, alpha

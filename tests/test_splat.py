@@ -60,6 +60,48 @@ def test_sh_degree0_is_constant(rng):
     )
 
 
+def test_clamped_tile_window_is_centered():
+    """A gaussian bigger than the static tile window must keep coverage
+    centered on it (a top-left-anchored window dropped right/bottom tiles)."""
+    from gaussctrl_tpu.splat.rasterize import RasterConfig, rasterize
+
+    cfg = RasterConfig(max_tiles_x=4, max_tiles_y=4)  # 64px window
+    xys = jnp.array([[128.0, 128.0]])
+    depths = jnp.array([1.0])
+    radii = jnp.array([120.0])                         # footprint ≫ window
+    conics = jnp.array([[1 / 900.0, 0.0, 1 / 900.0]])  # sigma 30px
+    colors = jnp.array([[1.0, 1.0, 1.0]])
+    opac = jnp.array([0.9])
+    img, alpha = rasterize(xys, depths, radii, conics, colors, opac,
+                           jnp.zeros(3), 256, 256, cfg)
+    a = np.asarray(alpha)
+    # symmetric coverage around the center, both axes
+    assert a[128, 128] > 0.5
+    np.testing.assert_allclose(a[128, 128 - 24], a[128, 128 + 24], atol=0.05)
+    np.testing.assert_allclose(a[128 - 24, 128], a[128 + 24, 128], atol=0.05)
+    assert a[128, 128 + 24] > 0.3
+
+
+def test_sub_threshold_opacity_is_noop():
+    """Gaussians with peak alpha below the blend threshold must not consume
+    tile capacity nor change the image (exact prune)."""
+    from gaussctrl_tpu.splat.rasterize import rasterize
+
+    xys = jnp.array([[32.0, 32.0], [32.0, 32.0]])
+    depths = jnp.array([1.0, 0.5])
+    radii = jnp.array([20.0, 20.0])
+    conics = jnp.tile(jnp.array([[1 / 64.0, 0.0, 1 / 64.0]]), (2, 1))
+    colors = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    opac = jnp.array([0.8, 1e-4])                      # 2nd is sub-threshold
+    img2, _, stats2 = rasterize(xys, depths, radii, conics, colors, opac,
+                                jnp.zeros(3), 64, 64, return_stats=True)
+    img1, _, stats1 = rasterize(xys[:1], depths[:1], radii[:1], conics[:1],
+                                colors[:1], opac[:1], jnp.zeros(3), 64, 64,
+                                return_stats=True)
+    np.testing.assert_allclose(np.asarray(img2), np.asarray(img1), atol=1e-6)
+    assert int(stats2["n_isect"]) == int(stats1["n_isect"])
+
+
 def test_sh_basis_orthonormal():
     """The 16 basis functions are orthonormal over the sphere.
 
