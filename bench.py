@@ -1,20 +1,24 @@
 """Benchmark: views edited/sec at 512x512 (the BASELINE.md north star).
 
 Measures, on the real chip with the full SD-1.5 architecture (bf16, random
-weights — weights don't change FLOPs), the two hot steps of the GaussCtrl
-edit at the reference operating point (chunk_size 3, 4 refs, 20+20 DDIM
-steps, CFG; BASELINE.md):
+weights — weights don't change FLOPs), the two production loops of the
+GaussCtrl edit at the reference operating point (chunk_size 3, 4 refs,
+20-step DDIM, CFG; BASELINE.md), exactly as the pipeline runs them — whole
+20-step `lax.scan`s, not isolated UNet evals (XLA schedules the fused scan
+~3x faster per step than a single-eval jit):
 
-  t_inv  — one inversion UNet+ControlNet eval, batch = `render_batch` views
-  t_edit — one CFG cross-view UNet+ControlNet eval, batch = 2*(4+3)
+  t_inv  — one 20-step DDIM inversion scan over a batch of 8 views
+  t_edit — one 20-step cross-view CFG denoise scan over [4 refs | 3 views]
 
-and derives  views/sec = 1 / (20*t_inv/B_inv + 20*t_edit/3).
+and derives  views/sec = 1 / (t_inv/8 + t_edit/3)
+(each inversion scan amortizes over its 8 views; each edit scan nets 3 views,
+the re-denoised refs being the reference's chunking overhead).
 
 vs_baseline compares against the A5000 reference estimated from public SD-1.5
-benchmark rates (A5000 ≈ 5 it/s for UNet+ControlNet batch1 fp16 512px,
-≈ 0.75 it/s at batch 14): inversion 40 views x 20 steps singly ≈ 160 s, edit
-12 chunks x 20 steps ≈ 320 s -> ≈ 0.083 views/s. The reference repo itself
-publishes no numbers (BASELINE.json "published": {}).
+throughput (≈5 it/s UNet+ControlNet batch1 fp16 512px, ≈0.75 it/s at batch
+14): inversion 40x20 steps singly ≈ 160 s, edit 12 chunks x 20 steps ≈ 320 s
+-> ≈ 0.083 views/s over 40 views. The reference repo itself publishes no
+numbers (BASELINE.json "published": {}).
 
 Prints ONE JSON line.
 """
@@ -28,7 +32,7 @@ import jax.numpy as jnp
 BASELINE_VIEWS_PER_SEC = 0.083  # derived A5000 estimate, see module docstring
 
 
-def _timeit(fn, *args, warmup=2, iters=3):
+def _timeit(fn, *args, warmup=1, iters=3):
     for _ in range(warmup):
         jax.block_until_ready(fn(*args))
     t0 = time.perf_counter()
@@ -41,41 +45,41 @@ def main():
     from gaussctrl_tpu.core.mesh import enable_persistent_cache
     enable_persistent_cache()
     from gaussctrl_tpu.diffusion.config import SDConfig
+    from gaussctrl_tpu.diffusion.ddim import DDIMSchedule
     from gaussctrl_tpu.diffusion.processors import CrossViewAttnProcessor
-    from gaussctrl_tpu.diffusion.sample import SDModels, eps_model
+    from gaussctrl_tpu.diffusion.sample import SDModels, denoise, invert
 
     cfg = SDConfig.sd15()
     models = SDModels.create(cfg, dtype=jnp.bfloat16)
     params = jax.jit(models.init_params)(jax.random.PRNGKey(0))
     params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
+    sched = DDIMSchedule.sd15()
     s = cfg.sample_size
-    t = jnp.asarray(501, jnp.int32)
+    steps, refs, chunk = 20, 4, 3
 
-    def make(batch, unet_proc, cn_proc):
-        lat = jnp.zeros((batch, s, s, 4), jnp.bfloat16)
-        ctx = jnp.zeros((batch, 77, cfg.unet.cross_attention_dim), jnp.bfloat16)
-        disp = jnp.zeros((batch, s * 8, s * 8, 3), jnp.bfloat16)
-        fn = jax.jit(lambda p, l, c, d: eps_model(
-            models, p, l, t, c, d, 1.0, unet_proc, cn_proc))
-        return fn, (params, lat, ctx, disp)
+    def batch(n):
+        lat = jax.random.normal(jax.random.PRNGKey(1), (n, s, s, 4),
+                                jnp.bfloat16)
+        ctx = jnp.zeros((n, 77, cfg.unet.cross_attention_dim), jnp.bfloat16)
+        disp = jnp.zeros((n, s * 8, s * 8, 3), jnp.bfloat16)
+        return lat, ctx, disp
 
-    # inversion eval: batch of independent views, plain attention, no CFG
+    # inversion: 20-step scan, batch of independent views, no CFG
     b_inv = 8
-    fn_inv, args_inv = make(b_inv, None, None)
-    t_inv = _timeit(fn_inv, *args_inv)
+    lat, ctx, disp = batch(b_inv)
+    inv = jax.jit(lambda p, l, c, d: invert(models, p, sched, l, c, d, steps))
+    t_inv = _timeit(inv, params, lat, ctx, disp)
 
-    # edit eval: 4 refs + 3 chunk views, CFG-doubled batch, cross-view attn
-    refs, chunk = 4, 3
-    b_edit = 2 * (refs + chunk)
-    fn_edit, args_edit = make(
-        b_edit,
-        CrossViewAttnProcessor(refs, 0.6, 2),
-        CrossViewAttnProcessor(refs, 0.0, 2))
-    t_edit = _timeit(fn_edit, *args_edit)
+    # edit: 20-step CFG denoise scan, [4 refs | 3 chunk views]
+    b_edit = refs + chunk
+    lat, ctx, disp = batch(b_edit)
+    edit = jax.jit(lambda p, l, cp, cn, d: denoise(
+        models, p, sched, l, cp, cn, d, guidance_scale=5.0, num_steps=steps,
+        unet_processor=CrossViewAttnProcessor(refs, 0.6, 2),
+        controlnet_processor=CrossViewAttnProcessor(refs, 0.0, 2)))
+    t_edit = _timeit(edit, params, lat, ctx, ctx, disp)
 
-    steps = 20
-    per_view = steps * t_inv / b_inv + steps * t_edit / chunk
-    views_per_sec = 1.0 / per_view
+    views_per_sec = 1.0 / (t_inv / b_inv + t_edit / chunk)
 
     print(json.dumps({
         "metric": "views edited/sec at 512x512",
@@ -83,10 +87,10 @@ def main():
         "unit": "views/s",
         "vs_baseline": round(views_per_sec / BASELINE_VIEWS_PER_SEC, 3),
         "detail": {
-            "t_inversion_eval_s": round(t_inv, 4),
+            "t_invert_scan_s": round(t_inv, 4),
             "inversion_batch": b_inv,
-            "t_edit_eval_s": round(t_edit, 4),
-            "edit_batch": b_edit,
+            "t_edit_scan_s": round(t_edit, 4),
+            "edit_batch_cfg_doubled": 2 * b_edit,
             "ddim_steps": steps,
             "device": str(jax.devices()[0]),
         },

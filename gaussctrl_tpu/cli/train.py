@@ -114,6 +114,7 @@ def main(argv=None):
         log("precomputed artifacts found — skipping render+invert (resume)")
     else:
         pipe.render_reverse(log_fn=log)
+    jax.block_until_ready(pipe.z_T)  # async dispatch — block before timing
     log(f"render+invert done in {time.time() - t0:.1f}s")
 
     # persist resume artifacts in the dataparser's auto-discovery layout
@@ -133,6 +134,7 @@ def main(argv=None):
 
     t1 = time.time()
     pipe.edit_images(log_fn=log)
+    jax.block_until_ready(pipe.edited)
     log(f"edit done in {time.time() - t1:.1f}s "
         f"({len(dm) / (time.time() - t1):.3f} views/s)")
     ed = out_dir / "edited"
