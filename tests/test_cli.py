@@ -77,6 +77,25 @@ def test_train_cli_end_to_end(scene_dir, tmp_path):
 
 
 @pytest.mark.slow
+def test_render_cli_spiral_and_interpolate(scene_dir, tmp_path):
+    from gaussctrl_tpu.cli.render import main as render_main
+
+    rd = tmp_path / "spiral"
+    render_main(["spiral", "--load-checkpoint", str(scene_dir / "scene.npz"),
+                 "--data", str(scene_dir), "--output-path", str(rd),
+                 "--frames", "3"])
+    assert len(list((rd / "rgb").glob("*.png"))) == 3
+
+    rd = tmp_path / "interp"
+    render_main(["interpolate", "--load-checkpoint",
+                 str(scene_dir / "scene.npz"), "--data", str(scene_dir),
+                 "--output-path", str(rd), "--interpolation-steps", "2",
+                 "--rendered-output-names", "rgb", "depth"])
+    assert len(list((rd / "rgb").glob("*.png"))) == 6  # (V-1) * steps
+    assert len(list((rd / "depth").glob("*.png"))) == 6
+
+
+@pytest.mark.slow
 def test_render_cli_camera_path(scene_dir, tmp_path):
     from gaussctrl_tpu.cli.render import main as render_main
 
