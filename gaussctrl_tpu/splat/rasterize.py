@@ -5,13 +5,20 @@ TPU-native replacement for gsplat's CUDA `rasterize_gaussians`
 per-tile work queues, atomic counters, per-pixel early exit) does not map to
 XLA, so this is a re-design around static shapes:
 
-  1. BIN    Each gaussian emits up to KX*KY (tile, depth, index) keys into a
-            fixed-capacity intersection buffer via a prefix-sum + scatter
-            (compacted, so the sort only sees ~actual intersections, not the
-            padded N*K grid).
-  2. SORT   One `lax.sort` over (tile_id, depth) with the gaussian index as
-            payload — the XLA analog of gsplat's radix sort.
-  3. RANGE  Per-tile [start, end) ranges via vectorized `searchsorted`.
+  1. BIN    Two-class tile windows, scatter-free. Small gaussians (the vast
+            majority in a trained scene) emit keys into a dense [N, 4x4]
+            candidate grid; the rare large ones are compacted into a fixed
+            [L, 16x16] buffer (overflow beyond L degrades to the clamped
+            small window — nothing is dropped outright). The grids are
+            sorted DIRECTLY — XLA scatter at this scale measured ~15 ns/elem
+            (395 ms for the old 26M-candidate compaction at 102k gaussians)
+            while sorting the padded grids costs a fraction of that.
+  2. SORT   One single-key `lax.sort` over a packed uint32
+            (tile_id << depth_bits | monotonic-depth-bits) with the gaussian
+            index as payload — the XLA analog of gsplat's radix sort.
+  3. RANGE  Per-tile [start, end) ranges via a vectorized manual binary
+            search (jnp.searchsorted's scan lowering measured 27 ms for 1k
+            queries; the fori_loop version is sub-ms).
   4. BLEND  Per-tile front-to-back alpha compositing over a static per-tile
             capacity, vectorized across the 16x16=256 pixels of every tile
             (VPU-shaped: [tiles, cap, 256] elementwise + cumprod
@@ -45,13 +52,18 @@ T_EPS = 1e-4
 @struct.dataclass
 class RasterConfig:
     tile_size: int = struct.field(pytree_node=False, default=16)
-    # static per-gaussian tile window (clamps giant gaussians' footprints;
-    # the window is centered on the gaussian when clamped)
+    # static per-gaussian tile window for the LARGE class (clamps giant
+    # gaussians' footprints; the window is centered on the gaussian when
+    # clamped)
     max_tiles_x: int = struct.field(pytree_node=False, default=16)
     max_tiles_y: int = struct.field(pytree_node=False, default=16)
-    # intersection buffer capacity = max(cap_multiplier * N, min_cap)
-    cap_multiplier: int = struct.field(pytree_node=False, default=16)
-    min_cap: int = struct.field(pytree_node=False, default=4096)
+    # compact tile window for the small class (set equal to max_tiles_* to
+    # disable two-class binning)
+    small_tiles_x: int = struct.field(pytree_node=False, default=4)
+    small_tiles_y: int = struct.field(pytree_node=False, default=4)
+    # large-class buffer capacity = clamp(N // large_divisor, 64, N); spans
+    # beyond capacity render through the clamped small window instead
+    large_divisor: int = struct.field(pytree_node=False, default=16)
     # max gaussians blended per tile (front-most kept)
     tile_capacity: int = struct.field(pytree_node=False, default=768)
     # tiles processed per blending step (memory knob)
@@ -60,10 +72,67 @@ class RasterConfig:
 
 class _Binned(NamedTuple):
     gauss_idx: jnp.ndarray   # [CAP] sorted by (tile, depth); idx into N
-    tile_ids: jnp.ndarray    # [CAP] sorted tile ids (sentinel = n_tiles)
     starts: jnp.ndarray      # [T]
     ends: jnp.ndarray        # [T]
-    n_isect: jnp.ndarray     # [] total intersections requested (may exceed CAP)
+    n_isect: jnp.ndarray     # [] total intersections emitted
+
+
+_SENTINEL = jnp.uint32(0xFFFFFFFF)
+
+
+def _tile_window(xys, radii, alive, kx, ky, n_tiles_x, n_tiles_y, ts):
+    """Centered, clamped [kx, ky] tile window per gaussian.
+
+    Returns (start_x, start_y, span_x, span_y, raw_span_x, raw_span_y); raw
+    spans are the unclamped rectangle extents (for small/large classing).
+    """
+    tmin_x = jnp.clip(jnp.floor((xys[:, 0] - radii) / ts), 0, n_tiles_x - 1).astype(jnp.int32)
+    tmin_y = jnp.clip(jnp.floor((xys[:, 1] - radii) / ts), 0, n_tiles_y - 1).astype(jnp.int32)
+    tmax_x = jnp.clip(jnp.ceil((xys[:, 0] + radii + 1) / ts), 1, n_tiles_x).astype(jnp.int32)
+    tmax_y = jnp.clip(jnp.ceil((xys[:, 1] + radii + 1) / ts), 1, n_tiles_y).astype(jnp.int32)
+    raw_span_x = tmax_x - tmin_x
+    raw_span_y = tmax_y - tmin_y
+    span_x = jnp.where(alive, jnp.minimum(raw_span_x, kx), 0)
+    span_y = jnp.where(alive, jnp.minimum(raw_span_y, ky), 0)
+    # when the footprint exceeds the static window, CENTER the window on the
+    # gaussian's center tile (a top-left-anchored window drops the right/
+    # bottom tiles of large gaussians — visible tile-square dropouts)
+    ctile_x = jnp.clip((xys[:, 0] / ts).astype(jnp.int32), 0, n_tiles_x - 1)
+    ctile_y = jnp.clip((xys[:, 1] / ts).astype(jnp.int32), 0, n_tiles_y - 1)
+    start_x = jnp.clip(ctile_x - span_x // 2, tmin_x, tmax_x - span_x)
+    start_y = jnp.clip(ctile_y - span_y // 2, tmin_y, tmax_y - span_y)
+    return start_x, start_y, span_x, span_y, raw_span_x, raw_span_y
+
+
+def _class_keys(start_x, start_y, span_x, span_y, dq, kx, ky, n_tiles_x, shift):
+    """[M] windows → flat [M*kx*ky] packed sort keys (invalid ⇒ sentinel)."""
+    k2 = kx * ky
+    slot = jnp.arange(k2, dtype=jnp.int32)
+    dy = (slot // kx)[None, :]
+    dx = (slot % kx)[None, :]
+    valid = (dy < span_y[:, None]) & (dx < span_x[:, None])
+    tile_id = ((start_y[:, None] + dy) * n_tiles_x + start_x[:, None] + dx)
+    key = (tile_id.astype(jnp.uint32) << shift) | dq[:, None]
+    return jnp.where(valid, key, _SENTINEL).reshape(-1)
+
+
+def _searchsorted_u32(sorted_keys, queries):
+    """Vectorized binary search (left). jnp.searchsorted's scan lowering
+    measured ~27 ms for 1k queries over a 1.6M array on v5e; this fori_loop
+    of [Q]-gathers is sub-ms."""
+    m = sorted_keys.shape[0]
+    iters = max(1, (m + 1).bit_length())
+    lo = jnp.zeros(queries.shape, jnp.int32)
+    hi = jnp.full(queries.shape, m, jnp.int32)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = (lo + hi) >> 1
+        pred = sorted_keys[jnp.minimum(mid, m - 1)] < queries
+        return jnp.where(pred, mid + 1, lo), jnp.where(pred, hi, mid)
+
+    lo, _ = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    return lo
 
 
 def _bin_and_sort(xys, depths, radii, n_tiles_x, n_tiles_y, cfg: RasterConfig):
@@ -75,60 +144,59 @@ def _bin_and_sort(xys, depths, radii, n_tiles_x, n_tiles_y, cfg: RasterConfig):
     n = xys.shape[0]
     ts = cfg.tile_size
     kx, ky = cfg.max_tiles_x, cfg.max_tiles_y
-    k2 = kx * ky
-    cap = max(cfg.cap_multiplier * n, cfg.min_cap)
+    ksx, ksy = min(cfg.small_tiles_x, kx), min(cfg.small_tiles_y, ky)
     n_tiles = n_tiles_x * n_tiles_y
+    # packed key: tile_id in the top bits, monotonic depth bits below.
+    # positive-float bitcast is order-preserving, so (bits >> tile_bits)
+    # keeps full exponent + leading-mantissa ordering; ties only between
+    # depths equal to ~2^-(23-tile_bits) relative precision.
+    tile_bits = max(1, int(n_tiles).bit_length())
+    shift = jnp.uint32(32 - tile_bits)
+    dbits = jax.lax.bitcast_convert_type(
+        jnp.maximum(depths.astype(jnp.float32), 0.0), jnp.int32
+    ).astype(jnp.uint32)
+    dq = dbits >> jnp.uint32(tile_bits)
 
     alive = radii > 0
-    tmin_x = jnp.clip(jnp.floor((xys[:, 0] - radii) / ts), 0, n_tiles_x - 1).astype(jnp.int32)
-    tmin_y = jnp.clip(jnp.floor((xys[:, 1] - radii) / ts), 0, n_tiles_y - 1).astype(jnp.int32)
-    tmax_x = jnp.clip(jnp.ceil((xys[:, 0] + radii + 1) / ts), 1, n_tiles_x).astype(jnp.int32)
-    tmax_y = jnp.clip(jnp.ceil((xys[:, 1] + radii + 1) / ts), 1, n_tiles_y).astype(jnp.int32)
-    span_x = jnp.where(alive, jnp.minimum(tmax_x - tmin_x, kx), 0)
-    span_y = jnp.where(alive, jnp.minimum(tmax_y - tmin_y, ky), 0)
-    # when the footprint exceeds the static window, CENTER the window on the
-    # gaussian's center tile (a top-left-anchored window drops the right/
-    # bottom tiles of large gaussians — visible tile-square dropouts)
-    ctile_x = jnp.clip((xys[:, 0] / ts).astype(jnp.int32), 0, n_tiles_x - 1)
-    ctile_y = jnp.clip((xys[:, 1] / ts).astype(jnp.int32), 0, n_tiles_y - 1)
-    start_x = jnp.clip(ctile_x - span_x // 2, tmin_x, tmax_x - span_x)
-    start_y = jnp.clip(ctile_y - span_y // 2, tmin_y, tmax_y - span_y)
-    counts = span_x * span_y                             # [N]
-    offsets = jnp.cumsum(counts) - counts                # exclusive prefix sum
+    sxL, syL, spxL, spyL, rspx, rspy = _tile_window(
+        xys, radii, alive, kx, ky, n_tiles_x, n_tiles_y, ts)
+    idx = jnp.arange(n, dtype=jnp.int32)
 
-    # slot grid: [N, K2] candidate (dy, dx) window offsets
-    slot = jnp.arange(k2, dtype=jnp.int32)
-    dy = (slot // kx)[None, :]
-    dx = (slot % kx)[None, :]
-    valid = (dy < span_y[:, None]) & (dx < span_x[:, None])
-    tile_x = start_x[:, None] + dx
-    tile_y = start_y[:, None] + dy
-    tile_id = tile_y * n_tiles_x + tile_x                # [N, K2]
-    # dense position within this gaussian's run
-    pos_in_run = dy * span_x[:, None] + dx
-    target = jnp.where(valid, offsets[:, None] + pos_in_run, cap)  # cap ⇒ dropped
+    if (ksx, ksy) == (kx, ky):
+        keys = _class_keys(sxL, syL, spxL, spyL, dq, kx, ky, n_tiles_x, shift)
+        payload = jnp.broadcast_to(idx[:, None], (n, kx * ky)).reshape(-1)
+        n_isect = (spxL * spyL).sum()
+    else:
+        cap_l = min(n, max(n // cfg.large_divisor, 64))
+        is_large = alive & ((rspx > ksx) | (rspy > ksy))
+        rank = jnp.cumsum(is_large) - is_large          # 0-based rank among large
+        eff_large = is_large & (rank < cap_l)
+        # compact the (at most cap_l) large gaussians' indices
+        lmap = jnp.zeros((cap_l,), jnp.int32).at[
+            jnp.where(eff_large, rank, cap_l)].set(idx, mode="drop")
+        lvalid = jnp.zeros((cap_l,), bool).at[
+            jnp.where(eff_large, rank, cap_l)].set(True, mode="drop")
+        # small class (everything else, incl. large-overflow, window-clamped)
+        sxS, syS, spxS, spyS, _, _ = _tile_window(
+            xys, radii, alive & ~eff_large, ksx, ksy, n_tiles_x, n_tiles_y, ts)
+        keys_s = _class_keys(sxS, syS, spxS, spyS, dq, ksx, ksy, n_tiles_x, shift)
+        keys_l = _class_keys(
+            sxL[lmap], syL[lmap],
+            jnp.where(lvalid, spxL[lmap], 0), spyL[lmap],
+            dq[lmap], kx, ky, n_tiles_x, shift)
+        keys = jnp.concatenate([keys_s, keys_l])
+        payload = jnp.concatenate([
+            jnp.broadcast_to(idx[:, None], (n, ksx * ksy)).reshape(-1),
+            jnp.broadcast_to(lmap[:, None], (cap_l, kx * ky)).reshape(-1),
+        ])
+        n_isect = jnp.where(eff_large, spxL * spyL, spxS * spyS).sum()
 
-    flat_target = target.reshape(-1)
-    flat_tile = tile_id.reshape(-1).astype(jnp.int32)
-    flat_depth = jnp.broadcast_to(depths[:, None], (n, k2)).reshape(-1)
-    flat_idx = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[:, None], (n, k2)
-    ).reshape(-1)
+    s_keys, s_idx = jax.lax.sort((keys, payload), num_keys=1)
 
-    buf_tile = jnp.full((cap,), n_tiles, jnp.int32)
-    buf_depth = jnp.full((cap,), jnp.inf, jnp.float32)
-    buf_idx = jnp.zeros((cap,), jnp.int32)
-    buf_tile = buf_tile.at[flat_target].set(flat_tile, mode="drop")
-    buf_depth = buf_depth.at[flat_target].set(flat_depth.astype(jnp.float32), mode="drop")
-    buf_idx = buf_idx.at[flat_target].set(flat_idx, mode="drop")
-
-    s_tile, _, s_idx = jax.lax.sort((buf_tile, buf_depth, buf_idx), num_keys=2)
-
-    tids = jnp.arange(n_tiles, dtype=jnp.int32)
-    starts = jnp.searchsorted(s_tile, tids, side="left").astype(jnp.int32)
-    ends = jnp.searchsorted(s_tile, tids + 1, side="left").astype(jnp.int32)
-    return _Binned(gauss_idx=s_idx, tile_ids=s_tile, starts=starts, ends=ends,
-                   n_isect=counts.sum())
+    tq = (jnp.arange(n_tiles + 1, dtype=jnp.uint32) << shift)
+    bounds = _searchsorted_u32(s_keys, tq)
+    return _Binned(gauss_idx=s_idx, starts=bounds[:-1], ends=bounds[1:],
+                   n_isect=n_isect)
 
 
 def _blend_tiles(binned: _Binned, xys, conics, colors, opacities, background,
