@@ -40,6 +40,13 @@ class DensifyConfig:
     densify_size_thresh: float = struct.field(pytree_node=False, default=0.01)
     cull_opacity: float = struct.field(pytree_node=False, default=0.005)
     cull_scale3d: float = struct.field(pytree_node=False, default=0.5)
+    # screen-size criteria (fractions of max(W, H), splatfacto semantics):
+    # gaussians larger than split_screen_size also split while
+    # step < stop_screen_size_at; larger than cull_screen_size are culled
+    # once scale-culling is active (after the first opacity reset)
+    split_screen_size: float = struct.field(pytree_node=False, default=0.05)
+    cull_screen_size: float = struct.field(pytree_node=False, default=0.15)
+    stop_screen_size_at: int = struct.field(pytree_node=False, default=4000)
     split_ratio: float = struct.field(pytree_node=False, default=1.6)
     warmup: int = struct.field(pytree_node=False, default=500)
     stop_at: int = struct.field(pytree_node=False, default=15000)
@@ -52,6 +59,7 @@ class DensifyState:
     alive: jnp.ndarray        # [Nmax] bool
     grad_accum: jnp.ndarray   # [Nmax] summed screen-grad norms
     grad_count: jnp.ndarray   # [Nmax] steps with a visible contribution
+    radii_max: jnp.ndarray    # [Nmax] max screen radius / max(W, H)
 
 
 def init_state(scene: GaussianScene, capacity: int
@@ -80,32 +88,53 @@ def init_state(scene: GaussianScene, capacity: int
     alive = jnp.arange(capacity) < n
     return scene, DensifyState(alive=alive,
                                grad_accum=jnp.zeros((capacity,), jnp.float32),
-                               grad_count=jnp.zeros((capacity,), jnp.float32))
+                               grad_count=jnp.zeros((capacity,), jnp.float32),
+                               radii_max=jnp.zeros((capacity,), jnp.float32))
 
 
 def accumulate(state: DensifyState, mean_grads: jnp.ndarray,
-               depths: jnp.ndarray, fx, width: int) -> DensifyState:
+               depths: jnp.ndarray, fx, width: int,
+               radii: jnp.ndarray | None = None,
+               height: int | None = None) -> DensifyState:
     """Track the screen-space gradient criterion after a train step.
 
     mean_grads [N,3] world-space; projected to an xys-grad scale via fx/z and
-    normalized by half-resolution as splatfacto does.
+    normalized by half-resolution as splatfacto does. `radii` (screen px)
+    feeds the max-2D-size statistic for the screen-size split/cull criteria.
     """
     # world grad -> pixel grad: dL/dpix ≈ dL/dworld · z/fx, then the
     # splatfacto half-resolution normalization
     g = jnp.linalg.norm(mean_grads, axis=-1)
     g = g * depths / jnp.maximum(fx, 1e-6) * (0.5 * width)
     visible = depths > 0
+    radii_max = state.radii_max
+    if radii is not None:
+        res = float(max(width, height if height is not None else width))
+        radii_max = jnp.maximum(radii_max, radii / res)
     return state.replace(
         grad_accum=state.grad_accum + jnp.where(visible, g, 0.0),
         grad_count=state.grad_count + visible.astype(jnp.float32),
+        radii_max=radii_max,
     )
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("scene", "state"))
+@partial(jax.jit,
+         static_argnames=("cfg", "screen_split", "scale_cull", "screen_cull",
+                          "cull_only"),
+         donate_argnames=("scene", "state"))
 def refine(scene: GaussianScene, state: DensifyState, key: jax.Array,
-           cfg: DensifyConfig = DensifyConfig()):
+           cfg: DensifyConfig = DensifyConfig(),
+           screen_split: bool = False, scale_cull: bool = True,
+           screen_cull: bool = False, cull_only: bool = False):
     """One split/duplicate/cull pass. Static shapes; returns (scene, state,
-    stats). New gaussians land in dead slots (capacity permitting)."""
+    stats). New gaussians land in dead slots (capacity permitting).
+
+    Gating flags follow splatfacto's schedule (the caller derives them from
+    the step): `screen_split` while step < stop_screen_size_at; `scale_cull`/
+    `screen_cull` only after the first opacity reset (fresh post-reset
+    opacities would mass-cull otherwise); `cull_only` after stop_at
+    (continue_cull_post_densification).
+    """
     cap = scene.num_gaussians
     alive = state.alive
     avg_grad = state.grad_accum / jnp.maximum(state.grad_count, 1.0)
@@ -114,10 +143,20 @@ def refine(scene: GaussianScene, state: DensifyState, key: jax.Array,
 
     high_grad = (avg_grad > cfg.grad_thresh) & alive
     big = max_scale > cfg.densify_size_thresh
+    if screen_split:
+        big = big | (state.radii_max > cfg.split_screen_size)
     split_mask = high_grad & big
     dup_mask = high_grad & ~big
-    cull_mask = alive & ((opac < cfg.cull_opacity) |
-                         (max_scale > cfg.cull_scale3d))
+    if cull_only:
+        split_mask = jnp.zeros_like(split_mask)
+        dup_mask = jnp.zeros_like(dup_mask)
+    cull_mask = opac < cfg.cull_opacity
+    if scale_cull:
+        toobig = max_scale > cfg.cull_scale3d
+        if screen_cull:
+            toobig = toobig | (state.radii_max > cfg.cull_screen_size)
+        cull_mask = cull_mask | toobig
+    cull_mask = cull_mask & alive
     n_split = split_mask.sum()
 
     # child i (2 per split parent) gets claim index 2*rank(+0/1);
@@ -192,7 +231,8 @@ def refine(scene: GaussianScene, state: DensifyState, key: jax.Array,
              "n_born": born1.sum() + born2.sum() + born3.sum()}
     fresh = DensifyState(alive=new_alive,
                          grad_accum=jnp.zeros((cap,), jnp.float32),
-                         grad_count=jnp.zeros((cap,), jnp.float32))
+                         grad_count=jnp.zeros((cap,), jnp.float32),
+                         radii_max=jnp.zeros((cap,), jnp.float32))
     return scene3, fresh, stats
 
 

@@ -40,8 +40,24 @@ class PretrainConfig:
     num_steps: int = 30000
     capacity_mult: float = 4.0      # gaussian buffer = mult × seed points
     sh_degree_interval: int = 1000
+    # splatfacto resolution schedule: train at 1/2^num_downscales resolution,
+    # halving the downscale every resolution_schedule steps (0 disables)
+    num_downscales: int = 2
+    resolution_schedule: int = 3000
     densify: DensifyConfig = DensifyConfig()
     train: TrainConfig = TrainConfig(lr_step_offset=0)
+
+
+def _reset_label_moments(opt_state, label: str, optimizer, scene):
+    """Zero one multi_transform group's Adam state (post-opacity-reset)."""
+    try:
+        inner = dict(opt_state.inner_states)
+        inner[label] = jax.tree_util.tree_map(
+            lambda x: jnp.zeros_like(x) if hasattr(x, "dtype") else x,
+            inner[label])
+        return opt_state._replace(inner_states=inner)
+    except (AttributeError, TypeError, KeyError):
+        return optimizer.init(scene)  # optax internals changed — full reset
 
 
 def _reset_newborn_moments(opt_state, born: jnp.ndarray):
@@ -90,7 +106,8 @@ def pretrain_step(
     proj = project_gaussians(scene.means, jnp.exp(scene.scales), scene.quats,
                              view_matrix(c2w), fx, fy, cx, cy, width, height)
     vis_depth = jnp.where(proj.radii > 0, proj.depths, 0.0)
-    dstate = accumulate(dstate, grads.means, vis_depth, fx, width)
+    dstate = accumulate(dstate, grads.means, vis_depth, fx, width,
+                        radii=proj.radii, height=height)
 
     updates, opt_state = optimizer.update(grads, opt_state, scene)
     scene = optax.apply_updates(scene, updates)
@@ -121,23 +138,43 @@ def pretrain(
     keys = jax.random.split(jax.random.PRNGKey(seed), cfg.num_steps + 1)
     order: list = []
     metrics = {}
-    images = jnp.asarray(images)
+    # resolution pyramid for the splatfacto warm-up schedule (mean-pooled)
+    pyramid = {1: jnp.asarray(images)}
+    if cfg.num_downscales and cfg.resolution_schedule:
+        for lvl in range(1, cfg.num_downscales + 1):
+            f = 2 ** lvl
+            v, h, w, c = images.shape
+            im = images[:, : h // f * f, : w // f * f]
+            pyramid[f] = jnp.asarray(
+                im.reshape(v, h // f, f, w // f, f, c).mean((2, 4)))
     d = cfg.densify
     for step in range(cfg.num_steps):
         if not order:
             order = list(rng.permutation(len(cameras)))
         v = int(order.pop())
         active_sh = min(step // cfg.sh_degree_interval, sh_degree)
+        if cfg.num_downscales and cfg.resolution_schedule:
+            f = 2 ** max(cfg.num_downscales - step // cfg.resolution_schedule, 0)
+        else:
+            f = 1
         scene, opt_state, dstate, metrics = pretrain_step(
             scene, opt_state, dstate,
-            cameras.c2w[v], cameras.fx[v], cameras.fy[v], cameras.cx[v],
-            cameras.cy[v], images[v], keys[step], cameras.width,
-            cameras.height, active_sh, raster_cfg, cfg.train)
+            cameras.c2w[v], cameras.fx[v] / f, cameras.fy[v] / f,
+            cameras.cx[v] / f, cameras.cy[v] / f, pyramid[f][v], keys[step],
+            cameras.width // f, cameras.height // f, active_sh, raster_cfg,
+            cfg.train)
 
         in_window = d.warmup < step < d.stop_at
-        if in_window and step % d.refine_every == 0:
+        post_window = step >= d.stop_at
+        scale_cull_on = step > d.reset_alpha_every  # post first opacity reset
+        if (in_window or post_window) and step % d.refine_every == 0:
             alive_before = np.asarray(dstate.alive)  # refine() donates
-            scene, dstate, stats = refine(scene, dstate, keys[-1], d)
+            scene, dstate, stats = refine(
+                scene, dstate, keys[-1], d,
+                screen_split=step < d.stop_screen_size_at,
+                scale_cull=scale_cull_on,
+                screen_cull=scale_cull_on and step < d.stop_screen_size_at,
+                cull_only=post_window)
             born = jnp.asarray(np.asarray(dstate.alive) & ~alive_before)
             opt_state = _reset_newborn_moments(opt_state, born)
             if log_fn:
@@ -145,8 +182,11 @@ def pretrain(
         if in_window and d.reset_alpha_every and step % d.reset_alpha_every == 0 \
                 and step > 0:
             scene = reset_opacities(scene, dstate.alive)
-            # opacity histories are stale after the clamp
-            opt_state = optimizer.init(scene)
+            # only the opacity Adam moments are stale after the clamp;
+            # nuking every group's moments stalls convergence for ~hundreds
+            # of steps (splatfacto resets just the opacity optimizer)
+            opt_state = _reset_label_moments(opt_state, "opacities", optimizer,
+                                             scene)
         if log_fn and step % 200 == 0:
             log_fn(step, {k: float(x) for k, x in metrics.items()})
 

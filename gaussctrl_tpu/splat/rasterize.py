@@ -43,6 +43,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 ALPHA_THRESH = 1.0 / 255.0
@@ -259,6 +260,172 @@ def _blend_tiles(binned: _Binned, xys, conics, colors, opacities, background,
     return outs, alphas
 
 
+def _blend_bwd_instance_grads(binned: _Binned, xys, conics, colors, opacities,
+                              background, g_tiles, g_alpha, n_tiles_x,
+                              n_tiles_y, cfg: RasterConfig):
+    """Manual backward of `_blend_tiles`: per-INSTANCE gradients in the
+    [tiles, capacity] layout (plus the background cotangent), via
+    transmittance replay — the TPU analog of gsplat's backward, with the
+    atomic adds deferred to `_reduce_by_gaussian`.
+
+    For out_p = Σ_i w_i c_i + T_fin·bg, w_i = α_i T_i m_i, T_i = Π_{j<i}(1−α_j):
+      ∂L/∂α_i = (g·c_i) T_i m_i − [S_i + (g·bg − g_A)·T_fin] / (1−α_i),
+      S_i = Σ_{j>i} (g·c_j) w_j   (suffix sum over the capacity axis).
+    """
+    ts = cfg.tile_size
+    cap = cfg.tile_capacity
+    n_tiles = n_tiles_x * n_tiles_y
+    ch = colors.shape[-1]
+    m_buf = binned.gauss_idx.shape[0]
+
+    pix = jnp.arange(ts, dtype=jnp.float32) + 0.5
+    pix_x = jnp.tile(pix, ts)
+    pix_y = jnp.repeat(pix, ts)
+
+    n_chunks = (n_tiles + cfg.tile_chunk - 1) // cfg.tile_chunk
+    pad_t = n_chunks * cfg.tile_chunk - n_tiles
+    g_tiles_p = jnp.pad(g_tiles.astype(jnp.float32), ((0, pad_t), (0, 0), (0, 0)))
+    g_alpha_p = jnp.pad(g_alpha.astype(jnp.float32), ((0, pad_t), (0, 0)))
+
+    def bwd_chunk(tile_base):
+        tids = tile_base + jnp.arange(cfg.tile_chunk, dtype=jnp.int32)
+        tx = (tids % n_tiles_x).astype(jnp.float32) * ts
+        ty = (tids // n_tiles_x).astype(jnp.float32) * ts
+        start = binned.starts[tids]
+        end = binned.ends[tids]
+        k = jnp.arange(cap, dtype=jnp.int32)[None, :]
+        take = jnp.minimum(start[:, None] + k, m_buf - 1)
+        live = start[:, None] + k < end[:, None]
+        gi = binned.gauss_idx[take]
+
+        g_xy = xys[gi]
+        g_conic = conics[gi]
+        g_color = colors[gi]
+        g_op = opacities[gi]
+
+        px = tx[:, None] + pix_x[None, :]
+        py = ty[:, None] + pix_y[None, :]
+        dx = g_xy[:, :, 0:1] - px[:, None, :]
+        dy = g_xy[:, :, 1:2] - py[:, None, :]
+        a, b, c = (g_conic[:, :, 0:1], g_conic[:, :, 1:2], g_conic[:, :, 2:3])
+        sigma = 0.5 * (a * dx * dx + c * dy * dy) + b * dx * dy
+        e_sig = jnp.exp(-sigma)
+        araw = g_op[:, :, None] * e_sig
+        alpha_c = jnp.minimum(0.999, araw)
+        cond = (sigma >= 0) & (alpha_c >= ALPHA_THRESH) & live[:, :, None]
+        alpha = jnp.where(cond, alpha_c, 0.0)                       # [G,C,P]
+
+        one_minus = 1.0 - alpha
+        trans = jnp.cumprod(one_minus, axis=1)
+        t_before = jnp.concatenate(
+            [jnp.ones_like(trans[:, :1, :]), trans[:, :-1, :]], axis=1)
+        m = (t_before > T_EPS).astype(jnp.float32)
+        w = alpha * t_before * m                                    # [G,C,P]
+        t_final = trans[:, -1, :]                                   # [G,P]
+
+        go = g_tiles_p[tids]                                        # [G,P,ch]
+        gA = g_alpha_p[tids]                                        # [G,P]
+        gc = jnp.einsum("gpk,gck->gcp", go, g_color)                # g·c_i
+        gbg = go @ background                                       # [G,P]
+        q = gc * w
+        s_after = jnp.flip(jnp.cumsum(jnp.flip(q, 1), axis=1), 1) - q
+        ga = (gc * t_before * m
+              - (s_after + (gbg - gA)[:, None, :] * t_final[:, None, :])
+              / one_minus)
+        ga = jnp.where(cond & (araw < 0.999), ga, 0.0)              # [G,C,P]
+
+        g_sigma = -ga * alpha
+        gx = (g_sigma * (a * dx + b * dy)).sum(-1)                  # [G,C]
+        gy = (g_sigma * (c * dy + b * dx)).sum(-1)
+        gca = (g_sigma * 0.5 * dx * dx).sum(-1)
+        gcb = (g_sigma * dx * dy).sum(-1)
+        gcc = (g_sigma * 0.5 * dy * dy).sum(-1)
+        gcol = jnp.einsum("gcp,gpk->gck", w, go)                    # [G,C,ch]
+        gop = (ga * e_sig).sum(-1)                                  # [G,C]
+        inst = jnp.concatenate(
+            [gx[..., None], gy[..., None], gca[..., None], gcb[..., None],
+             gcc[..., None], gcol, gop[..., None]], axis=-1)        # [G,C,D]
+        g_background = jnp.einsum("gp,gpk->k", t_final, go)
+        return inst, gi, live, g_background
+
+    bases = jnp.arange(n_chunks, dtype=jnp.int32) * cfg.tile_chunk
+    inst, gi, live, g_bg = jax.lax.map(bwd_chunk, bases)
+    d = 2 + 3 + ch + 1
+    inst = inst.reshape(-1, d)
+    return inst, gi.reshape(-1), live.reshape(-1), g_bg.sum(0)
+
+
+def _reduce_by_gaussian(inst, gi, live, n, w_small, w_large, cap_many):
+    """Scatter-free segmented sum of per-instance grads into per-gaussian
+    grads: sort instances by gaussian, then dense masked-window gathers
+    (every gaussian has ≤ w_large instances — its tile window — and only
+    the ≤ cap_many binning large-class gaussians can exceed w_small)."""
+    m = gi.shape[0]
+    inst = jnp.where(live[:, None], inst, 0.0)
+    key = jnp.where(live, gi, n).astype(jnp.int32)
+    skey, sidx = jax.lax.sort((key, jnp.arange(m, dtype=jnp.int32)), num_keys=1)
+    sg = inst[sidx]                                                # [M, D]
+    bounds = _searchsorted_u32(skey.astype(jnp.uint32),
+                               jnp.arange(n + 1, dtype=jnp.uint32))
+    counts = bounds[1:] - bounds[:-1]                              # [n]
+    j = jnp.arange(w_small, dtype=jnp.int32)[None, :]
+    idx1 = jnp.minimum(bounds[:-1, None] + j, m - 1)
+    m1 = j < jnp.minimum(counts, w_small)[:, None]
+    out = (sg[idx1] * m1[..., None]).sum(axis=1)                   # [n, D]
+    if w_large > w_small:
+        many = counts > w_small
+        rank = jnp.cumsum(many) - many
+        eff = many & (rank < cap_many)
+        tgt = jnp.where(eff, rank, cap_many)
+        nidx = jnp.arange(n, dtype=jnp.int32)
+        mmap = jnp.zeros((cap_many,), jnp.int32).at[tgt].set(nidx, mode="drop")
+        mvalid = jnp.zeros((cap_many,), bool).at[tgt].set(True, mode="drop")
+        j2 = jnp.arange(w_large, dtype=jnp.int32)[None, :]
+        idx2 = jnp.minimum(bounds[:-1][mmap][:, None] + j2, m - 1)
+        m2 = (j2 < counts[mmap][:, None]) & mvalid[:, None]
+        out2 = (sg[idx2] * m2[..., None]).sum(axis=1)              # [cap_many, D]
+        out = jnp.where(many[:, None], 0.0, out)
+        out = out.at[mmap].add(jnp.where(mvalid[:, None], out2, 0.0))
+    return out
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _blend_tiles_cv(n_tiles_x, n_tiles_y, cfg, binned, xys, conics, colors,
+                    opacities, background):
+    return _blend_tiles(binned, xys, conics, colors, opacities, background,
+                        n_tiles_x, n_tiles_y, cfg)
+
+
+def _blend_cv_fwd(n_tiles_x, n_tiles_y, cfg, binned, xys, conics, colors,
+                  opacities, background):
+    out = _blend_tiles(binned, xys, conics, colors, opacities, background,
+                       n_tiles_x, n_tiles_y, cfg)
+    return out, (binned, xys, conics, colors, opacities, background)
+
+
+def _blend_cv_bwd(n_tiles_x, n_tiles_y, cfg, res, ct):
+    binned, xys, conics, colors, opacities, background = res
+    g_tiles, g_alpha = ct
+    n = xys.shape[0]
+    ch = colors.shape[-1]
+    inst, gi, live, g_bg = _blend_bwd_instance_grads(
+        binned, xys, conics, colors, opacities, background,
+        g_tiles, g_alpha, n_tiles_x, n_tiles_y, cfg)
+    ksx, ksy = min(cfg.small_tiles_x, cfg.max_tiles_x), min(cfg.small_tiles_y, cfg.max_tiles_y)
+    w_small = ksx * ksy
+    w_large = cfg.max_tiles_x * cfg.max_tiles_y
+    cap_many = min(n, max(n // cfg.large_divisor, 64))
+    g = _reduce_by_gaussian(inst, gi, live, n, w_small, w_large, cap_many)
+    g = g.astype(xys.dtype)
+    g_binned = jax.tree_util.tree_map(
+        lambda x: np.zeros(x.shape, jax.dtypes.float0), binned)
+    return (g_binned, g[:, 0:2], g[:, 2:5], g[:, 5:5 + ch],
+            g[:, 5 + ch].astype(opacities.dtype), g_bg.astype(background.dtype))
+
+
+_blend_tiles_cv.defvjp(_blend_cv_fwd, _blend_cv_bwd)
+
+
 def _tiles_to_image(tiles, n_tiles_x, n_tiles_y, height, width, ts, ch=None):
     """[T, ts*ts(, ch)] tile-major → [H, W(, ch)] row-major image."""
     if ch is None:
@@ -300,8 +467,9 @@ def rasterize(
     radii = jnp.where(
         jax.lax.stop_gradient(opacities) >= ALPHA_THRESH, radii, 0)
     binned = _bin_and_sort(xys, depths, radii, n_tiles_x, n_tiles_y, cfg)
-    tiles, tile_alpha = _blend_tiles(
-        binned, xys, conics, colors, opacities, background, n_tiles_x, n_tiles_y, cfg
+    tiles, tile_alpha = _blend_tiles_cv(
+        n_tiles_x, n_tiles_y, cfg, binned, xys, conics, colors, opacities,
+        background
     )
     img = _tiles_to_image(tiles, n_tiles_x, n_tiles_y, height, width, ts, colors.shape[-1])
     alpha = _tiles_to_image(tile_alpha, n_tiles_x, n_tiles_y, height, width, ts)
