@@ -50,6 +50,12 @@ class TrainConfig:
     # splatfacto background_color config: "random" (training default) |
     # "black" | "white" (gc_model.py:73-86)
     background: str = "random"
+    # camera_opt group (gc_config.py:84-86): SO3xR3 per-view pose deltas,
+    # Adam lr 1e-3, optimizer stepped every `camera_opt_accum` iterations
+    # (gradient_accumulation_steps={"camera_opt": 100}, gc_config.py:49)
+    use_camera_opt: bool = False
+    lr_camera_opt: float = 1e-3
+    camera_opt_accum: int = 100
 
 
 
@@ -77,6 +83,38 @@ def make_optimizer(cfg: TrainConfig = TrainConfig()) -> optax.GradientTransforma
         features_dc="features_dc", features_rest="features_rest",
     )
     return optax.multi_transform(transforms, labels)
+
+
+def exp_so3(phi: jnp.ndarray) -> jnp.ndarray:
+    """Axis-angle [3] → rotation matrix (Rodrigues, Taylor-safe at 0)."""
+    theta2 = jnp.sum(phi * phi)
+    theta = jnp.sqrt(theta2 + 1e-24)
+    k = phi / theta
+    K = jnp.array([[0.0, -k[2], k[1]],
+                   [k[2], 0.0, -k[0]],
+                   [-k[1], k[0], 0.0]])
+    s = jnp.where(theta2 > 1e-16, jnp.sin(theta), theta)
+    c1 = jnp.where(theta2 > 1e-16, 1.0 - jnp.cos(theta), 0.5 * theta2)
+    return jnp.eye(3) + s * K + c1 * (K @ K)
+
+
+def apply_camera_opt(c2w: jnp.ndarray, delta: jnp.ndarray) -> jnp.ndarray:
+    """Compose an SO3xR3 pose correction with a [3, 4] camera-to-world.
+
+    delta = [t (3), phi (3)] as in nerfstudio's SO3xR3 optimizer (the
+    camera_opt group the reference configures at gc_config.py:84-86):
+    c2w' = [exp(phi) | t] ∘ c2w.
+    """
+    R = exp_so3(delta[3:])
+    return jnp.concatenate(
+        [R @ c2w[:, :3], R @ c2w[:, 3:4] + delta[:3, None]], axis=1)
+
+
+def make_camera_optimizer(cfg: TrainConfig = TrainConfig()):
+    """Adam for the per-view pose deltas, stepped every `camera_opt_accum`
+    iterations (the reference's gradient-accumulation group)."""
+    return optax.MultiSteps(optax.adam(cfg.lr_camera_opt, eps=cfg.adam_eps),
+                            every_k_schedule=cfg.camera_opt_accum)
 
 
 @partial(jax.jit, static_argnames=("width", "height", "sh_degree", "raster_cfg", "train_cfg"),
@@ -114,6 +152,53 @@ def train_step(
     return scene, opt_state, metrics
 
 
+@partial(jax.jit, static_argnames=("width", "height", "sh_degree", "raster_cfg",
+                                   "train_cfg"),
+         donate_argnames=("scene", "opt_state", "cam_deltas", "cam_opt_state"))
+def train_step_camopt(
+    scene: GaussianScene,
+    opt_state,
+    cam_deltas: jnp.ndarray,       # [V, 6] SO3xR3 pose corrections
+    cam_opt_state,
+    view_idx: jnp.ndarray,         # [] index of this step's view
+    c2w: jnp.ndarray,
+    fx, fy, cx, cy,
+    gt_image: jnp.ndarray,
+    key: jax.Array,
+    width: int,
+    height: int,
+    sh_degree: int = 3,
+    raster_cfg: RasterConfig = RasterConfig(),
+    train_cfg: TrainConfig = TrainConfig(),
+):
+    """train_step + the camera_opt pose-refinement group (accumulated Adam).
+
+    Returns (scene, opt_state, cam_deltas, cam_opt_state, metrics)."""
+    if train_cfg.background == "random":
+        background = jax.random.uniform(key, (3,))
+    elif train_cfg.background == "white":
+        background = jnp.ones(3)
+    else:
+        background = jnp.zeros(3)
+    optimizer = make_optimizer(train_cfg)
+    cam_optimizer = make_camera_optimizer(train_cfg)
+
+    def loss_fn(s, deltas):
+        c2w_adj = apply_camera_opt(c2w, deltas[view_idx])
+        out = render_rgbd(s, c2w_adj, fx, fy, cx, cy, width, height,
+                          background, sh_degree, raster_cfg)
+        return splat_loss(out["rgb"], gt_image, train_cfg.ssim_lambda)
+
+    (loss, metrics), (g_scene, g_cam) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1), has_aux=True)(scene, cam_deltas)
+    updates, opt_state = optimizer.update(g_scene, opt_state, scene)
+    scene = optax.apply_updates(scene, updates)
+    cam_updates, cam_opt_state = cam_optimizer.update(g_cam, cam_opt_state,
+                                                      cam_deltas)
+    cam_deltas = optax.apply_updates(cam_deltas, cam_updates)
+    return scene, opt_state, cam_deltas, cam_opt_state, metrics
+
+
 def init_optimizer_state(scene: GaussianScene, cfg: TrainConfig = TrainConfig()):
     return make_optimizer(cfg).init(scene)
 
@@ -143,6 +228,10 @@ def reoptimize(
     if sh_degree is None:
         sh_degree = scene.sh_degree
     opt_state = init_optimizer_state(scene, train_cfg)
+    cam_deltas = cam_opt_state = None
+    if train_cfg.use_camera_opt:
+        cam_deltas = jnp.zeros((len(cameras), 6))
+        cam_opt_state = make_camera_optimizer(train_cfg).init(cam_deltas)
     rng = np.random.default_rng(seed)
     keys = jax.random.split(jax.random.PRNGKey(seed), num_steps)
     order = []
@@ -151,16 +240,30 @@ def reoptimize(
         if not order:
             order = list(rng.permutation(len(cameras)))
         v = int(order.pop())
-        scene, opt_state, metrics = train_step(
-            scene, opt_state,
-            cameras.c2w[v], cameras.fx[v], cameras.fy[v],
-            cameras.cx[v], cameras.cy[v], images[v], keys[i],
-            cameras.width, cameras.height, sh_degree, raster_cfg, train_cfg,
-        )
+        if train_cfg.use_camera_opt:
+            scene, opt_state, cam_deltas, cam_opt_state, metrics = \
+                train_step_camopt(
+                    scene, opt_state, cam_deltas, cam_opt_state,
+                    jnp.int32(v), cameras.c2w[v], cameras.fx[v],
+                    cameras.fy[v], cameras.cx[v], cameras.cy[v], images[v],
+                    keys[i], cameras.width, cameras.height, sh_degree,
+                    raster_cfg, train_cfg,
+                )
+        else:
+            scene, opt_state, metrics = train_step(
+                scene, opt_state,
+                cameras.c2w[v], cameras.fx[v], cameras.fy[v],
+                cameras.cx[v], cameras.cy[v], images[v], keys[i],
+                cameras.width, cameras.height, sh_degree, raster_cfg, train_cfg,
+            )
         if log_fn is not None and (i + 1) % log_every == 0:
             log_fn(i + 1, {k: float(v) for k, v in metrics.items()})
         if ckpt_fn is not None and ckpt_every and (i + 1) % ckpt_every == 0:
             ckpt_fn(i + 1, scene)
     if ckpt_fn is not None and not (ckpt_every and num_steps % ckpt_every == 0):
         ckpt_fn(num_steps, scene)  # final save unless the loop just saved
+    if train_cfg.use_camera_opt:
+        # refined per-view poses are a byproduct of the camera_opt group
+        metrics = dict(metrics)
+        metrics["camera_deltas"] = cam_deltas
     return scene, metrics

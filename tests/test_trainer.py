@@ -76,3 +76,52 @@ def test_reoptimize_recovers_perturbed_scene():
     after = mean_l1(trained)
     assert before > 0.01
     assert after < before * 0.4, f"l1 {before:.4f} -> {after:.4f}"
+
+
+def test_exp_so3_matches_scipy_free_reference():
+    from gaussctrl_tpu.splat.trainer import exp_so3
+    # small-angle: exp(phi) ~ I + [phi]_x
+    phi = jnp.array([1e-5, -2e-5, 3e-5])
+    R = np.asarray(exp_so3(phi))
+    expect = np.eye(3) + np.array([[0, -3e-5, -2e-5],
+                                   [3e-5, 0, -1e-5],
+                                   [2e-5, 1e-5, 0]])
+    np.testing.assert_allclose(R, expect, atol=1e-9)
+    # 90 deg about z
+    R = np.asarray(exp_so3(jnp.array([0.0, 0.0, np.pi / 2])))
+    np.testing.assert_allclose(R, [[0, -1, 0], [1, 0, 0], [0, 0, 1]], atol=1e-6)
+    assert np.allclose(R @ R.T, np.eye(3), atol=1e-6)
+
+
+def test_camera_opt_recovers_pose_perturbation():
+    """camera_opt (SO3xR3 deltas, gc_config.py:84-86) must compensate a
+    deliberately wrong camera pose instead of corrupting the scene."""
+    from gaussctrl_tpu.splat.trainer import apply_camera_opt
+
+    key = jax.random.PRNGKey(1)
+    scene = random_scene(key, 150, sh_degree=1, extent=0.8)
+    scene = scene.replace(scales=scene.scales + 1.5)
+    cams = _orbit_cameras(4)
+    cfg = RasterConfig(tile_capacity=256, tile_chunk=8)
+    bg = jnp.zeros(3)
+    targets = jnp.stack([
+        render_rgbd(scene, cams.c2w[i], cams.fx[i], cams.fy[i], cams.cx[i],
+                    cams.cy[i], cams.width, cams.height, bg, cfg=cfg)["rgb"]
+        for i in range(len(cams))
+    ])
+    # perturb view 0's pose; freeze the scene by near-zero lrs so only the
+    # camera_opt group can fix the mismatch
+    bad = cams.replace(c2w=cams.c2w.at[0, :, 3].add(
+        jnp.array([0.05, -0.04, 0.03])))
+    tcfg = TrainConfig(background="black", use_camera_opt=True,
+                       camera_opt_accum=4, lr_camera_opt=5e-3,
+                       lr_means=1e-12, lr_features_dc=1e-12,
+                       lr_features_rest=1e-12, lr_opacities=1e-12,
+                       lr_scales=1e-12, lr_quats=1e-12)
+    trained, metrics = reoptimize(scene, bad, targets, num_steps=160,
+                                  raster_cfg=cfg, train_cfg=tcfg)
+    deltas = metrics["camera_deltas"]
+    c2w_fixed = apply_camera_opt(bad.c2w[0], deltas[0])
+    err_before = float(jnp.abs(bad.c2w[0] - cams.c2w[0]).max())
+    err_after = float(jnp.abs(c2w_fixed - cams.c2w[0]).max())
+    assert err_after < err_before * 0.5, (err_before, err_after)
