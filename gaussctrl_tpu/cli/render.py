@@ -153,6 +153,37 @@ def cmd_camera_path(args):
     fmt = "video" if args.output_format == "video" else args.image_format
     kw = _common_kwargs(args)
     kw["fps"] = float(spec.get("fps", args.fps))
+    cam_type = str(spec.get("camera_type", "perspective")).lower().replace(
+        "_", "-")
+    if cam_type in ("equirectangular", "omni-directional-stereo", "vr-180",
+                    "omnidirectional-stereo", "vr180"):
+        # stereo/pano path (gc_render.py:481-599): strip-swept equirect
+        from gaussctrl_tpu.cameras.stereo import (
+            render_ods, render_pano, render_vr180)
+        bg = tuple(args.background_color)
+        frames = []
+        for i in range(len(c2ws)):
+            if cam_type == "equirectangular":
+                f = render_pano(scene, c2ws[i], w, h, bg,
+                                strips=args.pano_strips)
+            elif cam_type in ("vr-180", "vr180"):
+                f = render_vr180(scene, c2ws[i], w, h, bg, ipd=args.ipd,
+                                 strips=max(args.pano_strips // 2, 4))
+            else:
+                f = render_ods(scene, c2ws[i], w, h, bg, ipd=args.ipd,
+                               strips=args.pano_strips)
+            frames.append((np.clip(f, 0, 1) * 255).astype(np.uint8))
+        out = Path(args.output_path)
+        out.mkdir(parents=True, exist_ok=True)
+        if fmt == "video":
+            _write_video(out / "rgb.mp4", frames, kw["fps"])
+        else:
+            import cv2
+            for i, f in enumerate(frames):
+                cv2.imwrite(str(out / f"rgb_{i:05d}.{fmt}"),
+                            cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+        print(f"[render] {len(frames)} {cam_type} frames -> {out}")
+        return
     if args.side_by_side and args.data:
         from gaussctrl_tpu.data.datamanager import DataManager, DataManagerConfig
         dcfg = DataManagerConfig(load_all=True)
@@ -259,6 +290,10 @@ def build_parser():
     c.add_argument("--camera-path-filename", required=True)
     c.add_argument("--data", default=None,
                    help="dataset dir for --side-by-side")
+    c.add_argument("--ipd", type=float, default=0.063,
+                   help="inter-pupillary distance for VR180/ODS paths")
+    c.add_argument("--pano-strips", type=int, default=32,
+                   help="azimuth strips per panorama (VR180/ODS/equirect)")
     c.add_argument("--side-by-side", action="store_true",
                    help="hstack the nearest training view next to each frame "
                         "(gc_render.py nearest-camera comparison)")
