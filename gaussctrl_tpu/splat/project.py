@@ -68,24 +68,58 @@ def project_gaussians(
     tx = jnp.clip(p_view[:, 0] / tz_safe, -lim_x, lim_x) * tz_safe
     ty = jnp.clip(p_view[:, 1] / tz_safe, -lim_y, lim_y) * tz_safe
 
-    cov3d = compute_cov3d(scales, quats)
+    # --- scalar-channel (structure-of-arrays) covariance chain.
+    # [N,3,3] batched 3x3 matmuls lower onto the TPU as tiny dot_generals
+    # with terrible utilization (measured 36 ms at 102k gaussians for ~10
+    # MFLOP of math); spelled out per channel the whole chain is one fused
+    # VPU loop. M = R·diag(s): Σ3d = M Mᵀ, T = J W, Σ2d = T Σ3d Tᵀ.
+    q = quats / jnp.linalg.norm(quats, axis=-1, keepdims=True).clip(1e-8)
+    qw, qx, qy, qz = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    sx, sy, sz = scales[:, 0], scales[:, 1], scales[:, 2]
+    m00 = (1 - 2 * (qy * qy + qz * qz)) * sx
+    m01 = (2 * (qx * qy - qw * qz)) * sy
+    m02 = (2 * (qx * qz + qw * qy)) * sz
+    m10 = (2 * (qx * qy + qw * qz)) * sx
+    m11 = (1 - 2 * (qx * qx + qz * qz)) * sy
+    m12 = (2 * (qy * qz - qw * qx)) * sz
+    m20 = (2 * (qx * qz - qw * qy)) * sx
+    m21 = (2 * (qy * qz + qw * qx)) * sy
+    m22 = (1 - 2 * (qx * qx + qy * qy)) * sz
+    # world covariance Σ = M Mᵀ (symmetric, 6 channels)
+    c00 = m00 * m00 + m01 * m01 + m02 * m02
+    c01 = m00 * m10 + m01 * m11 + m02 * m12
+    c02 = m00 * m20 + m01 * m21 + m02 * m22
+    c11 = m10 * m10 + m11 * m11 + m12 * m12
+    c12 = m10 * m20 + m11 * m21 + m12 * m22
+    c22 = m20 * m20 + m21 * m21 + m22 * m22
 
     rz = 1.0 / tz_safe
     rz2 = rz * rz
-    zeros = jnp.zeros_like(tz)
-    # J: [N, 2, 3] perspective Jacobian at the clamped point
-    J = jnp.stack(
-        [
-            jnp.stack([fx * rz, zeros, -fx * tx * rz2], -1),
-            jnp.stack([zeros, fy * rz, -fy * ty * rz2], -1),
-        ],
-        axis=-2,
-    )
-    T = J @ W_rot  # [N, 2, 3]
-    cov2d_m = T @ cov3d @ jnp.swapaxes(T, -1, -2)  # [N, 2, 2]
-    a = cov2d_m[:, 0, 0] + blur
-    b = cov2d_m[:, 0, 1]
-    c = cov2d_m[:, 1, 1] + blur
+    # rows of T = J @ W_rot: t0 = fx·rz·w0 − fx·tx·rz²·w2,
+    #                        t1 = fy·rz·w1 − fy·ty·rz²·w2
+    w0x, w0y, w0z = W_rot[0, 0], W_rot[0, 1], W_rot[0, 2]
+    w1x, w1y, w1z = W_rot[1, 0], W_rot[1, 1], W_rot[1, 2]
+    w2x, w2y, w2z = W_rot[2, 0], W_rot[2, 1], W_rot[2, 2]
+    a0 = fx * rz
+    a2 = -fx * tx * rz2
+    b1 = fy * rz
+    b2 = -fy * ty * rz2
+    t0x = a0 * w0x + a2 * w2x
+    t0y = a0 * w0y + a2 * w2y
+    t0z = a0 * w0z + a2 * w2z
+    t1x = b1 * w1x + b2 * w2x
+    t1y = b1 * w1y + b2 * w2y
+    t1z = b1 * w1z + b2 * w2z
+    # Σ2d = T Σ Tᵀ via u = Σ tᵢ
+    u0x = c00 * t0x + c01 * t0y + c02 * t0z
+    u0y = c01 * t0x + c11 * t0y + c12 * t0z
+    u0z = c02 * t0x + c12 * t0y + c22 * t0z
+    a = t0x * u0x + t0y * u0y + t0z * u0z + blur
+    b = t1x * u0x + t1y * u0y + t1z * u0z
+    u1x = c00 * t1x + c01 * t1y + c02 * t1z
+    u1y = c01 * t1x + c11 * t1y + c12 * t1z
+    u1z = c02 * t1x + c12 * t1y + c22 * t1z
+    c = t1x * u1x + t1y * u1y + t1z * u1z + blur
 
     det = a * c - b * b
     det_safe = jnp.where(det > 0, det, 1.0)

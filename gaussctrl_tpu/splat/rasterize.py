@@ -53,6 +53,12 @@ T_EPS = 1e-4
 @struct.dataclass
 class RasterConfig:
     tile_size: int = struct.field(pytree_node=False, default=16)
+    # blend primal path: "xla" (default — the capacity-vectorized blend) or
+    # "pallas" (ops/tile_blend.py sequential early-exit kernel; measured
+    # slower on dense scenes where tiles never saturate, so opt-in until its
+    # chunk-vectorized revision lands). Backward is the manual custom VJP
+    # either way.
+    blend_impl: str = struct.field(pytree_node=False, default="xla")
     # static per-gaussian tile window for the LARGE class (clamps giant
     # gaussians' footprints; the window is centered on the gaussian when
     # clamped)
@@ -389,17 +395,32 @@ def _reduce_by_gaussian(inst, gi, live, n, w_small, w_large, cap_many):
     return out
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _blend_tiles_cv(n_tiles_x, n_tiles_y, cfg, binned, xys, conics, colors,
-                    opacities, background):
+def _blend_primal(n_tiles_x, n_tiles_y, cfg, binned, xys, conics, colors,
+                  opacities, background):
+    impl = cfg.blend_impl
+    if impl == "auto":
+        impl = "xla"
+    if impl == "pallas" and (cfg.tile_size * cfg.tile_size) % 128 == 0:
+        from gaussctrl_tpu.ops.tile_blend import blend_tiles_pallas
+        return blend_tiles_pallas(
+            binned.gauss_idx, binned.starts, binned.ends, n_tiles_x,
+            xys, conics, colors, opacities, background,
+            cfg.tile_capacity, cfg.tile_size)
     return _blend_tiles(binned, xys, conics, colors, opacities, background,
                         n_tiles_x, n_tiles_y, cfg)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _blend_tiles_cv(n_tiles_x, n_tiles_y, cfg, binned, xys, conics, colors,
+                    opacities, background):
+    return _blend_primal(n_tiles_x, n_tiles_y, cfg, binned, xys, conics,
+                         colors, opacities, background)
+
+
 def _blend_cv_fwd(n_tiles_x, n_tiles_y, cfg, binned, xys, conics, colors,
                   opacities, background):
-    out = _blend_tiles(binned, xys, conics, colors, opacities, background,
-                       n_tiles_x, n_tiles_y, cfg)
+    out = _blend_primal(n_tiles_x, n_tiles_y, cfg, binned, xys, conics,
+                        colors, opacities, background)
     return out, (binned, xys, conics, colors, opacities, background)
 
 
