@@ -47,6 +47,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="facebook SAM .pth for langsam_obj masking")
     p.add_argument("--clip-ckpt", default="",
                    help="local HF CLIPModel dir for the text->box proposer")
+    p.add_argument("--dino-ckpt", default="",
+                   help="groundingdino_swinb_cogcoor.pth for the text->box "
+                        "stage (preferred over --clip-ckpt when given)")
+    p.add_argument("--dino-vocab", default="",
+                   help="BERT vocab.txt for the GroundingDINO tokenizer")
     add_dataclass_flags(p, GaussCtrlConfig, "pipeline")
     add_dataclass_flags(p, DataManagerConfig, "pipeline.datamanager")
     add_dataclass_flags(p, TrainConfig, "optimizers")
@@ -92,7 +97,9 @@ def main(argv=None):
     if pcfg.langsam_obj:
         from gaussctrl_tpu.seg.grounding import build_langsam_equivalent
         masker = build_langsam_equivalent(args.sam_ckpt or None,
-                                          args.clip_ckpt or None)
+                                          args.clip_ckpt or None,
+                                          dino_ckpt=args.dino_ckpt or None,
+                                          dino_vocab=args.dino_vocab or None)
         log(f"text->mask stack ready for object '{pcfg.langsam_obj}'")
 
     pipe = GaussCtrlPipeline(pcfg, scene, dm.cameras, sd_config=sd_config,

@@ -1,0 +1,759 @@
+"""GroundingDINO (SwinB) in flax — open-vocabulary text-conditioned detection.
+
+TPU-native port of the detector the reference drives through `groundingdino`
+(/root/reference/gaussctrl/lang_sam.py:3-9, 84-101: text prompt -> boxes for
+SAM). Architecture per IDEA-Research GroundingDINO SwinB "cogcoor":
+
+  * Swin-B image backbone (window 12, stages (2,2,18,2)) -> 3 feature levels
+    (strides 8/16/32) + one stride-64 conv level, all projected to d=256;
+  * BERT-base text encoder with per-phrase attention masks and position ids
+    (phrases are "."-separated; each attends within itself + specials);
+  * 6-layer feature enhancer: image<->text bi-attention fusion, text
+    self-attention, multi-scale deformable image self-attention;
+  * language-guided query selection (top-num_queries by max text logit) into
+    a 6-layer box-refining decoder (query self-attn, text cross-attn,
+    deformable image cross-attn), contrastive (dot-product) classification.
+
+TPU-first choices: fixed square input (img_size divisible by 32·window so
+every Swin stage tiles exactly — no dynamic padding), fixed max_text_len,
+deformable sampling as batched bilinear gathers over flattened level buffers
+(static shapes, no scatter), everything under one jit.
+
+`seg/dino_weights.py` ingests the official `groundingdino_swinb_cogcoor.pth`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+@dataclasses.dataclass(frozen=True)
+class DinoConfig:
+    img_size: int = 768               # 768 = 2·12·32: every level tiles window 12
+    patch_size: int = 4
+    swin_dim: int = 128
+    swin_depths: Tuple[int, ...] = (2, 2, 18, 2)
+    swin_heads: Tuple[int, ...] = (4, 8, 16, 32)
+    window: int = 12
+    out_indices: Tuple[int, ...] = (1, 2, 3)
+    d_model: int = 256
+    nheads: int = 8
+    enc_layers: int = 6
+    dec_layers: int = 6
+    dim_ff: int = 2048
+    num_queries: int = 900
+    num_points: int = 4
+    vocab_size: int = 30522
+    bert_hidden: int = 768
+    bert_layers: int = 12
+    bert_heads: int = 12
+    bert_ff: int = 3072
+    max_text_len: int = 256
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.out_indices) + 1
+
+    @classmethod
+    def swin_b(cls) -> "DinoConfig":
+        return cls()
+
+    @classmethod
+    def tiny(cls) -> "DinoConfig":
+        return cls(img_size=64, swin_dim=16, swin_depths=(1, 1), swin_heads=(2, 2),
+                   window=2, out_indices=(0, 1), d_model=32, nheads=4,
+                   enc_layers=1, dec_layers=2, dim_ff=64, num_queries=20,
+                   vocab_size=64, bert_hidden=32, bert_layers=1, bert_heads=2,
+                   bert_ff=64, max_text_len=16)
+
+
+# --------------------------------------------------------------------------
+# Swin backbone
+# --------------------------------------------------------------------------
+
+class SwinWindowAttention(nn.Module):
+    dim: int
+    heads: int
+    window: int
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        """x [nW, w*w, C]; mask [nGroups, w*w, w*w] or None."""
+        nw, t, c = x.shape
+        hd = c // self.heads
+        qkv = nn.Dense(3 * c, name="qkv")(x).reshape(nw, t, 3, self.heads, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        attn = jnp.einsum("nqhd,nkhd->nhqk", q, k,
+                          preferred_element_type=jnp.float32) * (hd ** -0.5)
+        w = self.window
+        table = self.param("relative_position_bias_table",
+                           nn.initializers.zeros,
+                           ((2 * w - 1) ** 2, self.heads))
+        coords = np.stack(np.meshgrid(np.arange(w), np.arange(w),
+                                      indexing="ij")).reshape(2, -1)
+        rel = coords[:, :, None] - coords[:, None, :] + (w - 1)
+        idx = rel[0] * (2 * w - 1) + rel[1]                     # [t, t]
+        attn = attn + table[idx].transpose(2, 0, 1)[None]
+        if mask is not None:
+            g = mask.shape[0]
+            attn = attn.reshape(nw // g, g, self.heads, t, t) + \
+                mask[None, :, None]
+            attn = attn.reshape(nw, self.heads, t, t)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), -1).astype(v.dtype)
+        out = jnp.einsum("nhqk,nkhd->nqhd", attn, v).reshape(nw, t, c)
+        return nn.Dense(c, name="proj")(out)
+
+
+class SwinBlock(nn.Module):
+    dim: int
+    heads: int
+    window: int
+    shift: int
+
+    @nn.compact
+    def __call__(self, x):                                      # [B, H, W, C]
+        b, h, w, c = x.shape
+        ws = self.window
+        res = x
+        x = nn.LayerNorm(name="norm1")(x)
+        if self.shift:
+            x = jnp.roll(x, (-self.shift, -self.shift), axis=(1, 2))
+        xw = x.reshape(b, h // ws, ws, w // ws, ws, c).transpose(
+            0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, c)
+        mask = None
+        if self.shift:
+            mask = jnp.asarray(_shift_mask(h, w, ws, self.shift))
+        x = SwinWindowAttention(self.dim, self.heads, ws, name="attn")(
+            xw, mask)
+        x = x.reshape(b, h // ws, w // ws, ws, ws, c).transpose(
+            0, 1, 3, 2, 4, 5).reshape(b, h, w, c)
+        if self.shift:
+            x = jnp.roll(x, (self.shift, self.shift), axis=(1, 2))
+        x = res + x
+        y = nn.LayerNorm(name="norm2")(x)
+        y = nn.Dense(4 * c, name="mlp_fc1")(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(c, name="mlp_fc2")(y)
+        return x + y
+
+
+def _shift_mask(h, w, ws, shift):
+    """Attention mask for shifted windows: [nW_per_img, ws*ws, ws*ws]."""
+    img = np.zeros((h, w), np.int32)
+    cnt = 0
+    for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+        for vs_ in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+            img[hs, vs_] = cnt
+            cnt += 1
+    win = img.reshape(h // ws, ws, w // ws, ws).transpose(0, 2, 1, 3
+                                                          ).reshape(-1, ws * ws)
+    diff = win[:, :, None] != win[:, None, :]
+    return np.where(diff, -1e9, 0.0).astype(np.float32)
+
+
+class PatchMerging(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):                                      # [B, H, W, C]
+        b, h, w, c = x.shape
+        # torch concat order: x0=(0::2,0::2), x1=(1::2,0::2), x2=(0::2,1::2), x3=(1::2,1::2)
+        x = jnp.concatenate([x[:, 0::2, 0::2], x[:, 1::2, 0::2],
+                             x[:, 0::2, 1::2], x[:, 1::2, 1::2]], -1)
+        x = nn.LayerNorm(name="norm")(x)
+        return nn.Dense(2 * c, use_bias=False, name="reduction")(x)
+
+
+class SwinBackbone(nn.Module):
+    """Swin encoder returning the `out_indices` stage feature maps (NHWC)."""
+    cfg: DinoConfig
+
+    @nn.compact
+    def __call__(self, x):                                      # [B, H, W, 3]
+        c = self.cfg
+        x = nn.Conv(c.swin_dim, (c.patch_size,) * 2, (c.patch_size,) * 2,
+                    name="patch_embed")(x)
+        x = nn.LayerNorm(name="patch_norm")(x)
+        outs = []
+        for si, depth in enumerate(c.swin_depths):
+            dim = c.swin_dim * (2 ** si)
+            for bi in range(depth):
+                x = SwinBlock(dim, c.swin_heads[si], c.window,
+                              shift=0 if bi % 2 == 0 else c.window // 2,
+                              name=f"stage{si}_block{bi}")(x)
+            if si in c.out_indices:
+                outs.append(nn.LayerNorm(name=f"out_norm{si}")(x))
+            if si < len(c.swin_depths) - 1:
+                x = PatchMerging(dim, name=f"downsample{si}")(x)
+        return outs
+
+
+# --------------------------------------------------------------------------
+# BERT text encoder with per-phrase masking
+# --------------------------------------------------------------------------
+
+class BertLayer(nn.Module):
+    cfg: DinoConfig
+
+    @nn.compact
+    def __call__(self, x, attn_bias):                  # [B,T,C], [B,1,T,T]
+        c = self.cfg
+        hd = c.bert_hidden // c.bert_heads
+        q = nn.Dense(c.bert_hidden, name="q")(x)
+        k = nn.Dense(c.bert_hidden, name="k")(x)
+        v = nn.Dense(c.bert_hidden, name="v")(x)
+        b, t, _ = x.shape
+        q, k, v = (z.reshape(b, t, c.bert_heads, hd) for z in (q, k, v))
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                          preferred_element_type=jnp.float32) * (hd ** -0.5)
+        attn = jax.nn.softmax(attn + attn_bias, -1).astype(v.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, t, -1)
+        x = nn.LayerNorm(epsilon=1e-12, name="attn_norm")(
+            x + nn.Dense(c.bert_hidden, name="attn_out")(out))
+        y = nn.Dense(c.bert_ff, name="ff1")(x)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(c.bert_hidden, name="ff2")(y)
+        return nn.LayerNorm(epsilon=1e-12, name="ff_norm")(x + y)
+
+
+class BertEncoder(nn.Module):
+    cfg: DinoConfig
+
+    @nn.compact
+    def __call__(self, ids, position_ids, attn_mask):
+        """ids [B,T]; position_ids [B,T]; attn_mask [B,T,T] bool (True=attend)."""
+        c = self.cfg
+        tok = self.param("word_embeddings", nn.initializers.normal(0.02),
+                         (c.vocab_size, c.bert_hidden))[ids]
+        pos = self.param("position_embeddings", nn.initializers.normal(0.02),
+                         (512, c.bert_hidden))[position_ids]
+        typ = self.param("token_type_embeddings", nn.initializers.normal(0.02),
+                         (2, c.bert_hidden))[jnp.zeros_like(ids)]
+        x = nn.LayerNorm(epsilon=1e-12, name="embed_norm")(tok + pos + typ)
+        bias = jnp.where(attn_mask[:, None], 0.0, -1e9)        # [B,1,T,T]
+        for i in range(c.bert_layers):
+            x = BertLayer(c, name=f"layer{i}")(x, bias)
+        return x
+
+
+def phrase_masks(ids: np.ndarray, special: Sequence[int]
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+    """GroundingDINO's generate_masks_with_special_tokens: tokens attend
+    within their '.'-separated phrase; special tokens attend only to
+    themselves; position ids restart at 0 inside each phrase.
+
+    ids [B,T] -> (attn_mask [B,T,T] bool, position_ids [B,T])."""
+    b, t = ids.shape
+    is_special = np.isin(ids, list(special))
+    mask = np.tile(np.eye(t, dtype=bool), (b, 1, 1))
+    pos = np.zeros((b, t), np.int64)
+    for bi in range(b):
+        prev = 0
+        for col in range(t):
+            if is_special[bi, col]:
+                mask[bi, col, col] = True
+                pos[bi, col] = 0
+                if col > prev + 1:
+                    mask[bi, prev + 1:col + 1, prev + 1:col + 1] = True
+                    pos[bi, prev + 1:col + 1] = np.arange(col - prev)
+                prev = col
+    return mask, pos
+
+
+# --------------------------------------------------------------------------
+# Multi-scale deformable attention
+# --------------------------------------------------------------------------
+
+def deform_sample(value, shapes, locs, weights):
+    """Bilinear-sample `value` at `locs`, weighted-sum over levels×points.
+
+    value [B, L, H, D] (flattened levels); shapes [(h,w)…]; locs
+    [B, Q, H, nlev, P, 2] normalized; weights [B, Q, H, nlev, P].
+    Returns [B, Q, H*D]. Out-of-range samples contribute zero (matches
+    grid_sample zero padding, align_corners=False)."""
+    b, _, nh, d = value.shape
+    q = locs.shape[1]
+    out = jnp.zeros((b, nh, q, d), jnp.float32)
+    start = 0
+    for lvl, (h, w) in enumerate(shapes):
+        v = value[:, start:start + h * w].transpose(0, 2, 1, 3)  # [B,H,hw,D]
+        start += h * w
+        x = locs[:, :, :, lvl, :, 0] * w - 0.5                   # [B,Q,H,P]
+        y = locs[:, :, :, lvl, :, 1] * h - 0.5
+        x0, y0 = jnp.floor(x), jnp.floor(y)
+        wx, wy = x - x0, y - y0
+        wgt_l = weights[:, :, :, lvl]                            # [B,Q,H,P]
+        for dy in (0, 1):
+            for dx in (0, 1):
+                xi, yi = x0 + dx, y0 + dy
+                valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+                idx = (jnp.clip(yi, 0, h - 1) * w +
+                       jnp.clip(xi, 0, w - 1)).astype(jnp.int32)
+                cw = (jnp.where(dx, wx, 1 - wx) * jnp.where(dy, wy, 1 - wy)
+                      * valid * wgt_l)                           # [B,Q,H,P]
+                flat = idx.transpose(0, 2, 1, 3).reshape(b, nh, -1)
+                g = jnp.take_along_axis(v, flat[..., None], axis=2)
+                g = g.reshape(b, nh, q, -1, d)                   # [B,H,Q,P,D]
+                out = out + jnp.einsum(
+                    "bhqpd,bqhp->bhqd", g.astype(jnp.float32),
+                    cw.astype(jnp.float32))
+    return out.transpose(0, 2, 1, 3).reshape(b, q, nh * d)
+
+
+class MSDeformAttn(nn.Module):
+    cfg: DinoConfig
+
+    @nn.compact
+    def __call__(self, query, refpoints, value, shapes):
+        """query [B,Q,C]; refpoints [B,Q,nlev,2] or [B,Q,4] (cxcywh);
+        value [B,L,C]; shapes [(h,w)…]."""
+        c = self.cfg
+        nh, nl, npnt = c.nheads, c.num_levels, c.num_points
+        b, q, _ = query.shape
+        v = nn.Dense(c.d_model, name="value_proj")(value)
+        v = v.reshape(b, -1, nh, c.d_model // nh)
+        off = nn.Dense(nh * nl * npnt * 2, name="sampling_offsets")(query)
+        off = off.reshape(b, q, nh, nl, npnt, 2)
+        aw = nn.Dense(nh * nl * npnt, name="attention_weights")(query)
+        aw = jax.nn.softmax(aw.reshape(b, q, nh, nl * npnt).astype(jnp.float32),
+                            -1).reshape(b, q, nh, nl, npnt)
+        norm = jnp.asarray([(w, h) for h, w in shapes], jnp.float32)
+        if refpoints.shape[-1] == 2:                  # per-level grid refs
+            locs = refpoints[:, :, None, :, None] + off / norm[:, None]
+        else:                                         # cxcywh boxes
+            xy = refpoints[:, :, None, None, None, :2]
+            wh = refpoints[:, :, None, None, None, 2:]
+            locs = xy + off / npnt * wh * 0.5
+        out = deform_sample(v, shapes, locs, aw)
+        return nn.Dense(c.d_model, name="output_proj")(out.astype(query.dtype))
+
+
+# --------------------------------------------------------------------------
+# torch-style MultiheadAttention (fused in_proj, matching ckpt layout)
+# --------------------------------------------------------------------------
+
+class TorchMHA(nn.Module):
+    dim: int
+    heads: int
+
+    @nn.compact
+    def __call__(self, q, k, v, bias=None):
+        b, tq, c = q.shape
+        hd = self.dim // self.heads
+        win = self.param("in_proj_weight", nn.initializers.xavier_uniform(),
+                         (3 * self.dim, self.dim))
+        bin_ = self.param("in_proj_bias", nn.initializers.zeros,
+                          (3 * self.dim,))
+        qp = q @ win[:self.dim].T + bin_[:self.dim]
+        kp = k @ win[self.dim:2 * self.dim].T + bin_[self.dim:2 * self.dim]
+        vp = v @ win[2 * self.dim:].T + bin_[2 * self.dim:]
+        qp = qp.reshape(b, tq, self.heads, hd)
+        kp = kp.reshape(b, -1, self.heads, hd)
+        vp = vp.reshape(b, -1, self.heads, hd)
+        attn = jnp.einsum("bqhd,bkhd->bhqk", qp, kp,
+                          preferred_element_type=jnp.float32) * (hd ** -0.5)
+        if bias is not None:
+            attn = attn + bias
+        attn = jax.nn.softmax(attn, -1).astype(vp.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, vp).reshape(b, tq, -1)
+        return nn.Dense(self.dim, name="out_proj")(out)
+
+
+# --------------------------------------------------------------------------
+# Feature enhancer (encoder)
+# --------------------------------------------------------------------------
+
+class BiFusion(nn.Module):
+    """BiMultiHeadAttention image<->text with layer-scale residuals."""
+    cfg: DinoConfig
+
+    @nn.compact
+    def __call__(self, img, txt, txt_mask):
+        c = self.cfg
+        edim = c.dim_ff // 2
+        nh = max(c.nheads // 2, 1)
+        hd = edim // nh
+        vi = nn.LayerNorm(name="layer_norm_v")(img)
+        li = nn.LayerNorm(name="layer_norm_l")(txt)
+        qv = nn.Dense(edim, name="v_proj")(vi) * (hd ** -0.5)
+        kl = nn.Dense(edim, name="l_proj")(li)
+        vv = nn.Dense(edim, name="values_v_proj")(vi)
+        vl = nn.Dense(edim, name="values_l_proj")(li)
+        b, ti, _ = img.shape
+        tt = txt.shape[1]
+        sh = lambda z, t: z.reshape(b, t, nh, hd)
+        attn = jnp.einsum("bihd,bjhd->bhij", sh(qv, ti), sh(kl, tt),
+                          preferred_element_type=jnp.float32)
+        attn = attn - attn.max()
+        attn = jnp.clip(attn, -50000, 50000)
+        # vision -> text attention (mask padded text)
+        a_v = attn + jnp.where(txt_mask[:, None, None, :], 0.0, -1e9)
+        a_v = jax.nn.softmax(a_v, -1)
+        dv = jnp.einsum("bhij,bjhd->bihd", a_v, sh(vl, tt)).reshape(b, ti, -1)
+        # text -> vision attention
+        a_l = jax.nn.softmax(jnp.clip(attn - attn.max(), -50000, 50000
+                                      ).transpose(0, 1, 3, 2), -1)
+        dl = jnp.einsum("bhji,bihd->bjhd", a_l, sh(vv, ti)).reshape(b, tt, -1)
+        gv = self.param("gamma_v", nn.initializers.constant(1 / 6),
+                        (c.d_model,))
+        gl = self.param("gamma_l", nn.initializers.constant(1 / 6),
+                        (c.d_model,))
+        img = img + gv * nn.Dense(c.d_model, name="out_v_proj")(
+            dv.astype(img.dtype))
+        txt = txt + gl * nn.Dense(c.d_model, name="out_l_proj")(
+            dl.astype(txt.dtype))
+        return img, txt
+
+
+class EnhancerLayer(nn.Module):
+    cfg: DinoConfig
+
+    @nn.compact
+    def __call__(self, img, txt, img_pos, refs, shapes, txt_mask, txt_bias):
+        c = self.cfg
+        img, txt = BiFusion(c, name="fusion")(img, txt, txt_mask)
+        # text self-attention (nhead/2, ff/2)
+        t2 = TorchMHA(c.d_model, max(c.nheads // 2, 1), name="text_attn")(
+            txt, txt, txt, txt_bias)
+        txt = nn.LayerNorm(name="text_norm1")(txt + t2)
+        t2 = nn.Dense(c.d_model, name="text_ff2")(nn.relu(
+            nn.Dense(c.dim_ff // 2, name="text_ff1")(txt)))
+        txt = nn.LayerNorm(name="text_norm2")(txt + t2)
+        # image deformable self-attention
+        i2 = MSDeformAttn(c, name="self_attn")(img + img_pos, refs, img,
+                                               shapes)
+        img = nn.LayerNorm(name="norm1")(img + i2)
+        i2 = nn.Dense(c.d_model, name="linear2")(nn.relu(
+            nn.Dense(c.dim_ff, name="linear1")(img)))
+        img = nn.LayerNorm(name="norm2")(img + i2)
+        return img, txt
+
+
+# --------------------------------------------------------------------------
+# Decoder
+# --------------------------------------------------------------------------
+
+class MLP(nn.Module):
+    hidden: int
+    out: int
+    layers: int
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.layers - 1):
+            x = nn.relu(nn.Dense(self.hidden, name=f"lin{i}")(x))
+        return nn.Dense(self.out, name=f"lin{self.layers - 1}")(x)
+
+
+class DecoderLayer(nn.Module):
+    cfg: DinoConfig
+
+    @nn.compact
+    def __call__(self, tgt, qpos, txt, txt_mask, img, refs, shapes):
+        c = self.cfg
+        q = tgt + qpos
+        t2 = TorchMHA(c.d_model, c.nheads, name="self_attn")(q, q, tgt)
+        tgt = nn.LayerNorm(name="norm2")(tgt + t2)
+        bias = jnp.where(txt_mask[:, None, None, :], 0.0, -1e9)
+        t2 = TorchMHA(c.d_model, c.nheads, name="ca_text")(
+            tgt + qpos, txt, txt, bias)
+        tgt = nn.LayerNorm(name="catext_norm")(tgt + t2)
+        t2 = MSDeformAttn(c, name="cross_attn")(tgt + qpos, refs, img, shapes)
+        tgt = nn.LayerNorm(name="norm1")(tgt + t2)
+        t2 = nn.Dense(c.d_model, name="linear2")(nn.relu(
+            nn.Dense(c.dim_ff, name="linear1")(tgt)))
+        return nn.LayerNorm(name="norm3")(tgt + t2)
+
+
+def sine_embed(box, dim=128, temperature=10000.0, scale=2 * math.pi):
+    """gen_sineembed_for_position: [..., 4] (cx,cy,w,h) in [0,1] ->
+    [..., 4*dim], embedded in torch's (y, x, w, h) concat order with
+    interleaved sin/cos (dim_t = T**(2*(i//2)/dim))."""
+    x = box[..., (1, 0, 2, 3)]
+    i = jnp.arange(dim)
+    t = temperature ** (2 * (i // 2) / dim)
+    ang = x[..., None] * scale / t
+    emb = jnp.where(i % 2 == 0, jnp.sin(ang), jnp.cos(ang))
+    return emb.reshape(*x.shape[:-1], x.shape[-1] * dim)
+
+
+# --------------------------------------------------------------------------
+# Full model
+# --------------------------------------------------------------------------
+
+def _inv_sigmoid(x, eps=1e-3):
+    x = jnp.clip(x, eps, 1 - eps)
+    return jnp.log(x / (1 - x))
+
+
+class GroundingDINO(nn.Module):
+    cfg: DinoConfig
+
+    def level_meta(self):
+        c = self.cfg
+        sizes = []
+        for si in c.out_indices:
+            sizes.append(c.img_size // (c.patch_size * 2 ** si))
+        sizes.append(sizes[-1] // 2)                  # extra stride level
+        return [(s, s) for s in sizes]
+
+    @nn.compact
+    def __call__(self, images, ids, position_ids, attn_mask, txt_mask):
+        """images [B,H,W,3] (ImageNet-normalized); ids [B,T] token ids;
+        position_ids [B,T]; attn_mask [B,T,T]; txt_mask [B,T] (True=real).
+
+        Returns (logits [B, nq, T], boxes [B, nq, 4] cxcywh normalized)."""
+        c = self.cfg
+        shapes = self.level_meta()
+
+        # --- backbone + projections
+        feats = SwinBackbone(c, name="backbone")(images)
+        srcs = []
+        for i, f in enumerate(feats):
+            x = nn.Conv(c.d_model, (1, 1), name=f"input_proj{i}_conv")(f)
+            srcs.append(nn.GroupNorm(32 if c.d_model % 32 == 0 else 1,
+                                     name=f"input_proj{i}_gn")(x))
+        x = nn.Conv(c.d_model, (3, 3), (2, 2), padding=((1, 1), (1, 1)),
+                    name=f"input_proj{len(feats)}_conv")(feats[-1])
+        srcs.append(nn.GroupNorm(32 if c.d_model % 32 == 0 else 1,
+                                 name=f"input_proj{len(feats)}_gn")(x))
+
+        # --- flatten levels + sine position embeddings + level embed
+        level_embed = self.param("level_embed", nn.initializers.normal(1.0),
+                                 (c.num_levels, c.d_model))
+        flat, pos = [], []
+        for li, s in enumerate(srcs):
+            b, h, w, _ = s.shape
+            flat.append(s.reshape(b, h * w, c.d_model))
+            pos.append(_sine_pos_hw(h, w, c.d_model // 2
+                                    ).reshape(1, h * w, c.d_model)
+                       + level_embed[li])
+        img = jnp.concatenate(flat, 1)
+        img_pos = jnp.concatenate(pos, 1).astype(img.dtype)
+
+        # --- text
+        txt = BertEncoder(c, name="bert")(ids, position_ids, attn_mask)
+        txt = nn.Dense(c.d_model, name="feat_map")(txt)
+        txt_bias = jnp.where(attn_mask[:, None], 0.0, -1e9)
+
+        # --- feature enhancer
+        refs2d = _grid_refs(shapes)                    # [L, nlev, 2]
+        refs2d = jnp.broadcast_to(refs2d, (img.shape[0],) + refs2d.shape)
+        for i in range(c.enc_layers):
+            img, txt = EnhancerLayer(c, name=f"enc{i}")(
+                img, txt, img_pos, refs2d, shapes, txt_mask, txt_bias)
+
+        # --- language-guided query selection
+        props, valid = _grid_proposals(shapes)         # [L,4] logit space
+        mem = jnp.where(valid[:, None], img, 0.0)
+        mem = nn.LayerNorm(name="enc_output_norm")(
+            nn.Dense(c.d_model, name="enc_output")(mem))
+        cls = _contrastive(mem, txt, txt_mask)         # [B, L, T]
+        score = jnp.where(valid[None, :], cls.max(-1), -1e9)
+        top = jax.lax.top_k(score, c.num_queries)[1]   # [B, nq]
+        sel = jnp.take_along_axis(mem, top[..., None], 1)
+        delta = MLP(c.d_model, 4, 3, name="enc_out_bbox_embed")(sel)
+        ref = jax.nn.sigmoid(
+            delta + jnp.take_along_axis(
+                jnp.broadcast_to(props, (img.shape[0],) + props.shape),
+                top[..., None], 1))
+        ref = jax.lax.stop_gradient(ref)
+        tgt = self.param("tgt_embed", nn.initializers.normal(1.0),
+                         (c.num_queries, c.d_model))
+        tgt = jnp.broadcast_to(tgt, (img.shape[0],) + tgt.shape)
+
+        # --- decoder with per-layer box refinement; bbox MLP and final norm
+        # are shared across layers (dec_pred_bbox_embed_share=True in the
+        # SwinB cogcoor config)
+        ref_head = MLP(c.d_model, c.d_model, 2, name="ref_point_head")
+        bbox_mlp = MLP(c.d_model, 4, 3, name="bbox_embed")
+        dec_norm = nn.LayerNorm(name="dec_norm")
+        for i in range(c.dec_layers):
+            qs = sine_embed(ref, dim=c.d_model // 2)    # [B,nq,2*d_model]
+            qpos = ref_head(qs)
+            tgt = DecoderLayer(c, name=f"dec{i}")(
+                tgt, qpos, txt, txt_mask, img, ref, shapes)
+            ref_before = ref
+            # in-loop refinement steers from the RAW output; the reported
+            # boxes re-derive the delta from the NORMED state against the
+            # pre-update reference (GroundingDINO TransformerDecoder vs
+            # groundingdino.py outputs_coord_list)
+            ref = jax.lax.stop_gradient(
+                jax.nn.sigmoid(bbox_mlp(tgt) + _inv_sigmoid(ref)))
+        normed = dec_norm(tgt)
+        boxes = jax.nn.sigmoid(bbox_mlp(normed) + _inv_sigmoid(ref_before))
+        logits = _contrastive(normed, txt, txt_mask)
+        return logits, boxes
+
+
+def _contrastive(q, txt, txt_mask):
+    """ContrastiveEmbed: dot-product logits, padded text masked to -inf."""
+    logit = jnp.einsum("bqc,btc->bqt", q, txt,
+                       preferred_element_type=jnp.float32)
+    return jnp.where(txt_mask[:, None, :], logit, -1e9)
+
+
+def _sine_pos_hw(h, w, num_pos_feats, temperature=20.0):
+    """PositionEmbeddingSineHW (normalize=True, temp 20) -> [h, w, 2*npf]."""
+    ys = (jnp.arange(h, dtype=jnp.float32) + 1) / (h + 1e-6) * 2 * math.pi
+    xs = (jnp.arange(w, dtype=jnp.float32) + 1) / (w + 1e-6) * 2 * math.pi
+    i = jnp.arange(num_pos_feats)
+    dim_t = temperature ** (2 * (i // 2) / num_pos_feats)
+    py = ys[:, None] / dim_t
+    px = xs[:, None] / dim_t
+    py = jnp.where(i % 2 == 0, jnp.sin(py), jnp.cos(py))
+    px = jnp.where(i % 2 == 0, jnp.sin(px), jnp.cos(px))
+    pos = jnp.concatenate([
+        jnp.broadcast_to(py[:, None], (h, w, num_pos_feats)),
+        jnp.broadcast_to(px[None, :], (h, w, num_pos_feats))], -1)
+    # torch layout: cat(pos_y, pos_x) with y first — matches above
+    return pos
+
+
+def _grid_refs(shapes):
+    """Encoder reference points: each location's normalized center, tiled
+    across levels -> [L, nlev, 2]."""
+    pts = []
+    for h, w in shapes:
+        y, x = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                            jnp.arange(w, dtype=jnp.float32), indexing="ij")
+        pts.append(jnp.stack([(x.ravel() + 0.5) / w,
+                              (y.ravel() + 0.5) / h], -1))
+    pts = jnp.concatenate(pts, 0)                       # [L, 2]
+    return jnp.broadcast_to(pts[:, None], (pts.shape[0], len(shapes), 2))
+
+
+# --------------------------------------------------------------------------
+# Inference wrapper: tokenizer + box proposer (the lang_sam boxes role)
+# --------------------------------------------------------------------------
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+class WordPieceTokenizer:
+    """Minimal BERT WordPiece tokenizer (lowercase, greedy longest-match).
+
+    Loads a standard `vocab.txt` (one token per line). Enough for caption
+    encoding parity with `BertTokenizer('bert-base-uncased')` on the
+    short object prompts the pipeline feeds (`langsam_obj`)."""
+
+    def __init__(self, vocab_path: str):
+        with open(vocab_path, encoding="utf-8") as f:
+            self.vocab = {t.rstrip("\n"): i for i, t in enumerate(f)}
+        self.cls = self.vocab["[CLS]"]
+        self.sep = self.vocab["[SEP]"]
+        self.unk = self.vocab["[UNK]"]
+        self.pad = self.vocab.get("[PAD]", 0)
+        self.specials = (self.cls, self.sep, self.vocab.get(".", self.unk),
+                         self.vocab.get("?", self.unk))
+
+    def _wordpiece(self, word: str):
+        if word in self.vocab:
+            return [self.vocab[word]]
+        out, start = [], 0
+        while start < len(word):
+            end = len(word)
+            cur = None
+            while start < end:
+                sub = word[start:end]
+                if start > 0:
+                    sub = "##" + sub
+                if sub in self.vocab:
+                    cur = self.vocab[sub]
+                    break
+                end -= 1
+            if cur is None:
+                return [self.unk]
+            out.append(cur)
+            start = end
+        return out
+
+    def encode(self, text: str):
+        import re as _re
+        words = _re.findall(r"[a-z0-9]+|[^\sa-z0-9]", text.lower().strip())
+        ids = [self.cls]
+        for w in words:
+            ids.extend(self._wordpiece(w))
+        ids.append(self.sep)
+        return ids
+
+
+class DinoBoxProposer:
+    """Text -> per-view best xyxy box via GroundingDINO; plugs into
+    GroundedSAMMasker (the reference's lang_sam.predict box stage,
+    box_threshold 0.3 as lang_sam.py:115)."""
+
+    def __init__(self, model: GroundingDINO, params, tokenizer,
+                 box_threshold: float = 0.3, batch: int = 4):
+        self.model = model
+        self.params = params
+        self.tokenizer = tokenizer
+        self.box_threshold = box_threshold
+        self.batch = batch
+        self._fwd = jax.jit(lambda p, im, ids, pos, am, tm:
+                            model.apply({"params": p}, im, ids, pos, am, tm))
+
+    def _prep_text(self, text: str):
+        cap = text.lower().strip()
+        if not cap.endswith("."):
+            cap = cap + "."
+        ids = self.tokenizer.encode(cap)[: self.model.cfg.max_text_len]
+        t = self.model.cfg.max_text_len
+        ids_np = np.full((1, t), self.tokenizer.pad, np.int32)
+        ids_np[0, : len(ids)] = ids
+        attn, pos = phrase_masks(ids_np, self.tokenizer.specials)
+        txt_mask = np.zeros((1, t), bool)
+        txt_mask[0, : len(ids)] = True
+        # padded tokens attend only to themselves (all-False rows are NaN)
+        return ids_np, pos.astype(np.int32), attn | np.eye(t, dtype=bool), \
+            txt_mask
+
+    def __call__(self, images, prompt: str) -> np.ndarray:
+        """images [V,H,W,3] in [0,1] -> boxes [V,4] xyxy px (−1s = none)."""
+        v, h, w, _ = np.shape(images)
+        size = self.model.cfg.img_size
+        ids, pos, attn, tmask = self._prep_text(prompt)
+        boxes = np.full((v, 4), -1.0, np.float32)
+        for lo in range(0, v, self.batch):
+            hi = min(lo + self.batch, v)
+            im = jax.image.resize(jnp.asarray(images[lo:hi]),
+                                  (hi - lo, size, size, 3), "bilinear")
+            im = (im - IMAGENET_MEAN) / IMAGENET_STD
+            n = hi - lo
+            logits, bx = self._fwd(
+                self.params, im, np.repeat(ids, n, 0), np.repeat(pos, n, 0),
+                np.repeat(attn, n, 0), np.repeat(tmask, n, 0))
+            score = np.asarray(jax.nn.sigmoid(logits).max(-1))    # [n, nq]
+            bx = np.asarray(bx)
+            for i in range(n):
+                j = int(score[i].argmax())
+                if score[i, j] < self.box_threshold:
+                    continue
+                cx, cy, bw, bh = bx[i, j]
+                boxes[lo + i] = [(cx - bw / 2) * w, (cy - bh / 2) * h,
+                                 (cx + bw / 2) * w, (cy + bh / 2) * h]
+        return boxes
+
+
+def _grid_proposals(shapes):
+    """gen_encoder_output_proposals: per-location (cx,cy,w,h) anchors in
+    inverse-sigmoid space + validity mask -> ([L,4], [L] bool)."""
+    out = []
+    for lvl, (h, w) in enumerate(shapes):
+        y, x = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                            jnp.arange(w, dtype=jnp.float32), indexing="ij")
+        cx = (x.ravel() + 0.5) / w
+        cy = (y.ravel() + 0.5) / h
+        wh = jnp.full_like(cx, 0.05 * 2 ** lvl)
+        out.append(jnp.stack([cx, cy, wh, wh], -1))
+    p = jnp.concatenate(out, 0)
+    valid = jnp.all((p > 0.01) & (p < 0.99), -1)
+    return _inv_sigmoid(p), valid

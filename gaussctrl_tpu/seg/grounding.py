@@ -123,11 +123,15 @@ def build_langsam_equivalent(
     sam_ckpt: Optional[str] = None,
     clip_dir: Optional[str] = None,
     sam: Optional[SAM] = None,
+    dino_ckpt: Optional[str] = None,
+    dino_vocab: Optional[str] = None,
 ) -> GroundedSAMMasker:
     """Assemble the full text->mask stack from local checkpoints.
 
-    Falls back to random-init modules when paths are missing (shape-correct,
-    for smoke tests only — real masking needs real weights).
+    With `dino_ckpt` (+ BERT `dino_vocab` vocab.txt) the box stage is the
+    GroundingDINO port — the reference's exact detector (lang_sam.py:84-88);
+    otherwise the CLIP patch-similarity proposer. Falls back to random-init
+    modules when paths are missing (shape-correct, for smoke tests only).
     """
     if sam is None:
         if sam_ckpt:
@@ -136,6 +140,13 @@ def build_langsam_equivalent(
         else:
             from gaussctrl_tpu.seg.sam import SAMConfig
             sam = SAM.create(SAMConfig.tiny())
+
+    if dino_ckpt:
+        from gaussctrl_tpu.seg.dino import DinoBoxProposer
+        from gaussctrl_tpu.seg.dino_weights import load_dino
+        assert dino_vocab, "GroundingDINO needs a BERT vocab.txt path"
+        model, params, tok = load_dino(dino_ckpt, dino_vocab)
+        return GroundedSAMMasker(sam, DinoBoxProposer(model, params, tok))
 
     vcfg = CLIPVisionConfig.vit_l14() if clip_dir else CLIPVisionConfig.tiny()
     tcfg = CLIPTextConfig.sd15() if clip_dir else CLIPTextConfig.tiny()

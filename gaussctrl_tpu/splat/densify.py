@@ -157,6 +157,14 @@ def refine(scene: GaussianScene, state: DensifyState, key: jax.Array,
             toobig = toobig | (state.radii_max > cfg.cull_screen_size)
         cull_mask = cull_mask | toobig
     cull_mask = cull_mask & alive
+    # A split is only real if BOTH children fit in free slots: with the buffer
+    # at capacity, dropped child scatters must not leave the parent killed and
+    # shrunk (childless splits destroyed the highest-gradient gaussians every
+    # refine once pre-training saturated the buffer). free_slots is packed
+    # ascending, so the first ⌊free/2⌋ split ranks (by buffer order) succeed.
+    num_free = jnp.sum(~alive & ~cull_mask)
+    split_rank = jnp.cumsum(split_mask) - 1
+    split_mask = split_mask & (2 * split_rank + 1 < num_free)
     n_split = split_mask.sum()
 
     # child i (2 per split parent) gets claim index 2*rank(+0/1);

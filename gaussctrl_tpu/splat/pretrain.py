@@ -38,7 +38,8 @@ from gaussctrl_tpu.cameras.camera import view_matrix
 @dataclasses.dataclass(frozen=True)
 class PretrainConfig:
     num_steps: int = 30000
-    capacity_mult: float = 4.0      # gaussian buffer = mult × seed points
+    capacity_mult: float = 8.0      # gaussian buffer = mult × seed points
+    eval_every: int = 1000          # full-res PSNR on 4 fixed views (0 = off)
     sh_degree_interval: int = 1000
     # splatfacto resolution schedule: train at 1/2^num_downscales resolution,
     # halving the downscale every resolution_schedule steps (0 disables)
@@ -72,6 +73,21 @@ def _reset_newborn_moments(opt_state, born: jnp.ndarray):
         return x
 
     return jax.tree_util.tree_map(f, opt_state)
+
+
+def _eval_psnr(scene, cameras, images, sh_degree, raster_cfg):
+    """Full-resolution PSNR on 4 fixed views — a comparable convergence
+    metric (the per-step train PSNR is view- and schedule-resolution-noisy)."""
+    v_idx = [int(i * len(cameras) / 4) for i in range(4)]
+    h, w = int(cameras.height), int(cameras.width)
+    vals = []
+    for v in v_idx:
+        out = render_rgbd(scene, cameras.c2w[v], cameras.fx[v], cameras.fy[v],
+                          cameras.cx[v], cameras.cy[v], w, h,
+                          jnp.zeros(3), sh_degree, raster_cfg)
+        mse = jnp.mean((out["rgb"] - images[v]) ** 2)
+        vals.append(-10.0 * jnp.log10(jnp.maximum(mse, 1e-10)))
+    return {"eval_psnr": float(jnp.stack(vals).mean())}
 
 
 @partial(jax.jit, static_argnames=("width", "height", "sh_degree",
@@ -189,6 +205,13 @@ def pretrain(
                                              scene)
         if log_fn and step % 200 == 0:
             log_fn(step, {k: float(x) for k, x in metrics.items()})
+        if log_fn and cfg.eval_every and step % cfg.eval_every == 0:
+            log_fn(step, _eval_psnr(scene, cameras, pyramid[1], sh_degree,
+                                    raster_cfg))
+
+    if log_fn and cfg.eval_every:
+        log_fn(cfg.num_steps, _eval_psnr(scene, cameras, pyramid[1],
+                                         sh_degree, raster_cfg))
 
     # compact to alive gaussians for downstream static-shape consumers
     alive_idx = np.nonzero(np.asarray(dstate.alive))[0]

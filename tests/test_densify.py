@@ -81,6 +81,24 @@ def test_capacity_overflow_is_safe():
     assert int(stats["n_born"]) == 2
 
 
+def test_full_buffer_split_keeps_parent():
+    # zero free slots: a would-be split must be a no-op (parent alive,
+    # un-shrunk) — not a childless kill (regression: saturated pre-training
+    # buffers mass-killed the highest-gradient gaussians)
+    scene, st = _padded(n=20, cap=20)
+    st = st.replace(grad_accum=st.grad_accum.at[0].set(100.0),
+                    grad_count=st.grad_count.at[0].set(1.0))
+    scene = scene.replace(scales=scene.scales.at[0].set(jnp.log(0.5)))
+    scale0_before = np.asarray(scene.scales[0])
+    cfg = DensifyConfig(grad_thresh=1.0, densify_size_thresh=0.1,
+                        cull_scale3d=10.0)
+    scene2, st2, stats = refine(scene, st, jax.random.PRNGKey(1), cfg)
+    assert int(stats["n_split"]) == 0
+    assert bool(st2.alive[0])
+    np.testing.assert_allclose(np.asarray(scene2.scales[0]), scale0_before)
+    assert int(st2.alive.sum()) == 20
+
+
 def test_reset_opacities_only_alive():
     scene, st = _padded()
     out = reset_opacities(scene, st.alive, value=0.01)
