@@ -32,12 +32,22 @@ import jax.numpy as jnp
 BASELINE_VIEWS_PER_SEC = 0.083  # derived A5000 estimate, see module docstring
 
 
+def _sync(out):
+    """Force completion via a host fetch of a data-dependent scalar.
+    jax.block_until_ready can return before execution finishes on the
+    tunneled TPU backend (measured: chained 34 ms kernels reported as
+    0.2 ms) — a device->host readback is the only reliable barrier."""
+    import numpy as np
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(np.asarray(leaf.ravel()[0]))
+
+
 def _timeit(fn, *args, warmup=1, iters=3):
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        _sync(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
-        jax.block_until_ready(fn(*args))
+        _sync(fn(*args))
     return (time.perf_counter() - t0) / iters
 
 

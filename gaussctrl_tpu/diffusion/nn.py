@@ -33,14 +33,17 @@ def _use_flash(tq: int, tk: int, head_dim: int = 128) -> bool:
     """Flash-kernel routing: GAUSSCTRL_FLASH=1 forces, =0 disables, default
     auto — on for TPU backends at sequence lengths where streaming K/V wins.
     Wide heads (VAE's single 512-d head) stay on einsum: the whole-K/V-in-VMEM
-    kernel would exceed the 16MB scoped VMEM budget."""
+    kernel would exceed the 16MB scoped VMEM budget. At 4096 tokens the SD
+    head_dim of 40 makes einsum faster (measured 9.0 vs 11.6 ms at B=14 on
+    v5e: the QK^T contraction depth dominates, and the kernel's exp/rescale
+    VPU work exceeds the HBM savings), so auto caps at 2048."""
     flag = os.environ.get("GAUSSCTRL_FLASH", "auto")
     if flag == "0":
         return False
     if flag == "1":
         return True
     return (jax.default_backend() == "tpu" and tq >= 256 and tk >= 256
-            and head_dim <= 128)
+            and tk <= 2048 and head_dim <= 128)
 
 
 def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, heads: int) -> jnp.ndarray:

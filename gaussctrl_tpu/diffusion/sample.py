@@ -108,16 +108,29 @@ def invert(
     cond_image: jnp.ndarray,       # [B, H, W, 3] disparity
     num_steps: int = 20,
     conditioning_scale: float = 1.0,
+    easyinv_rho: float = 0.0,
+    easyinv_t_min: int = 400,
 ) -> jnp.ndarray:
     """DDIM inversion z_0 -> z_T, guidance 0 (single conditional pass;
-    gc_pipeline.py:141-145), plain attention processors."""
+    gc_pipeline.py:141-145), plain attention processors.
+
+    `easyinv_rho` > 0 enables the EasyInv refinement (arXiv 2408.05159,
+    PAPERS.md): at high-noise timesteps (t >= easyinv_t_min) the new iterate
+    is blended with the previous one, x <- rho*x_new + (1-rho)*x_prev, which
+    damps the inversion's fixed-point error without extra model evals.
+    rho = 0 is the exact reference behavior."""
     ts, ts_prev = timestep_pairs(num_steps)
 
     def step(x, tp):
         t, t_prev = tp
         eps = eps_model(models, params, x, t, context, cond_image,
                         conditioning_scale)
-        return ddim_inverse_step(sched, x, eps.astype(x.dtype), t, t_prev), None
+        x_new = ddim_inverse_step(sched, x, eps.astype(x.dtype), t, t_prev)
+        if easyinv_rho > 0.0:
+            x_new = jnp.where(t >= easyinv_t_min,
+                              easyinv_rho * x_new + (1 - easyinv_rho) * x,
+                              x_new)
+        return x_new, None
 
     # inversion walks the denoise pairs in reverse (ascending t)
     x, _ = jax.lax.scan(step, latents, (ts[::-1], ts_prev[::-1]))

@@ -67,6 +67,10 @@ class GaussCtrlConfig:
     conditioning_scale: float = 1.0
     seed: int = 13789
     render_batch: int = 8         # views per render/invert batch
+    # EasyInv inversion refinement (arXiv 2408.05159): 0 = off (exact
+    # reference behavior); ~0.85 blends each high-noise iterate with the
+    # previous one for a tighter invert->denoise round trip
+    easyinv_rho: float = 0.0
 
 
 def depth_to_disparity(depth: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
@@ -230,7 +234,8 @@ class GaussCtrlPipeline:
         # multi-GB tree into the compiled graph as constants
         inv = jax.jit(lambda p, lat, ctx, disp: invert(
             self.models, p, self.sched, lat, ctx, disp,
-            self.config.num_inference_steps, self.config.conditioning_scale))
+            self.config.num_inference_steps, self.config.conditioning_scale,
+            easyinv_rho=self.config.easyinv_rho))
         enc = jax.jit(lambda p, imgs: vae_encode(self.models, p, imgs))
         for lo in range(0, V, bs):
             hi = min(lo + bs, V)

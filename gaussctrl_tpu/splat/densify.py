@@ -38,7 +38,11 @@ class DensifyConfig:
     # 3DGS 2e-4 threshold applies to a differently-normalized statistic)
     grad_thresh: float = struct.field(pytree_node=False, default=0.02)
     densify_size_thresh: float = struct.field(pytree_node=False, default=0.01)
-    cull_opacity: float = struct.field(pytree_node=False, default=0.005)
+    # splatfacto semantics (cull_alpha_thresh=0.1, reset to 2x): the scene the
+    # reference edits is pre-trained by splatfacto, whose shallow opacity
+    # resets recover in ~100 steps — the INRIA 0.005/0.01 pair left the scene
+    # near-transparent for >1000 steps after every reset
+    cull_opacity: float = struct.field(pytree_node=False, default=0.1)
     cull_scale3d: float = struct.field(pytree_node=False, default=0.5)
     # screen-size criteria (fractions of max(W, H), splatfacto semantics):
     # gaussians larger than split_screen_size also split while
@@ -251,8 +255,9 @@ def src_idx(parents: jnp.ndarray, cap: int) -> jnp.ndarray:
 
 
 def reset_opacities(scene: GaussianScene, alive: jnp.ndarray,
-                    value: float = 0.01) -> GaussianScene:
-    """Clamp alive opacities to ≤ `value` (splatfacto's reset_alpha)."""
+                    value: float = 0.2) -> GaussianScene:
+    """Clamp alive opacities to ≤ `value` (splatfacto's reset_alpha:
+    2 x cull_alpha_thresh)."""
     logit = jnp.log(value / (1 - value))
     return scene.replace(
         opacities=jnp.where(alive[:, None],

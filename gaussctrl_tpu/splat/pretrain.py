@@ -44,7 +44,7 @@ class PretrainConfig:
     # splatfacto resolution schedule: train at 1/2^num_downscales resolution,
     # halving the downscale every resolution_schedule steps (0 disables)
     num_downscales: int = 2
-    resolution_schedule: int = 3000
+    resolution_schedule: int = 250
     densify: DensifyConfig = DensifyConfig()
     train: TrainConfig = TrainConfig(lr_step_offset=0)
 
@@ -197,7 +197,8 @@ def pretrain(
                 log_fn(step, {k: int(v) for k, v in stats.items()})
         if in_window and d.reset_alpha_every and step % d.reset_alpha_every == 0 \
                 and step > 0:
-            scene = reset_opacities(scene, dstate.alive)
+            scene = reset_opacities(scene, dstate.alive,
+                                    value=2 * d.cull_opacity)
             # only the opacity Adam moments are stale after the clamp;
             # nuking every group's moments stalls convergence for ~hundreds
             # of steps (splatfacto resets just the opacity optimizer)

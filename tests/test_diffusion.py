@@ -155,6 +155,29 @@ def test_crossview_pure_ref_ignores_own_kv():
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-6)
 
 
+def test_easyinv_blend_only_at_high_t(tiny):
+    """rho=0 is the exact reference path; rho>0 changes only the high-noise
+    iterates (t >= easyinv_t_min), keeping shapes finite."""
+    cfg, models, params = tiny
+    sched = DDIMSchedule.sd15()
+    s = cfg.sample_size
+    lat = jax.random.normal(jax.random.PRNGKey(3), (2, s, s, 4)) * 0.1
+    disp = jax.random.uniform(jax.random.PRNGKey(4), (2, s * 8, s * 8, 3))
+    ctx = _ctx(cfg, 2)
+    base = invert(models, params, sched, lat, ctx, disp, num_steps=4)
+    same = invert(models, params, sched, lat, ctx, disp, num_steps=4,
+                  easyinv_rho=0.0)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(same))
+    blended = invert(models, params, sched, lat, ctx, disp, num_steps=4,
+                     easyinv_rho=0.85, easyinv_t_min=400)
+    assert np.isfinite(np.asarray(blended)).all()
+    assert np.abs(np.asarray(blended) - np.asarray(base)).max() > 0
+    # threshold above every timestep -> blend never fires -> exact match
+    off = invert(models, params, sched, lat, ctx, disp, num_steps=4,
+                 easyinv_rho=0.85, easyinv_t_min=10_000)
+    np.testing.assert_array_equal(np.asarray(off), np.asarray(base))
+
+
 def test_invert_denoise_pipeline_smoke(tiny):
     """End-to-end tiny: invert 3 views, denoise with cross-view attention."""
     cfg, models, params = tiny
