@@ -124,8 +124,56 @@ def save_checkpoint(ckpt_dir, step: int, tree, keep_only_latest: bool = True):
     return out
 
 
+def save_checkpoint_sharded(ckpt_dir, step: int, tree,
+                            keep_only_latest: bool = True) -> Path:
+    """Orbax-backed step-numbered checkpoint for sharded pytrees.
+
+    For multi-host scenes (gaussian axes sharded over a Mesh) every host
+    writes only the shards it owns — the multi-host growth path of
+    `save_checkpoint` (npz gathers everything to host 0). Same step-naming
+    and latest-only pruning contract (gc_trainer.py:147-174)."""
+    import orbax.checkpoint as ocp
+
+    ckpt_dir = Path(ckpt_dir)
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    out = ckpt_dir / f"step-{step:09d}.orbax"
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(out.absolute(), tree, force=True)
+    ckptr.wait_until_finished()
+    if keep_only_latest:
+        for f in ckpt_dir.glob("step-*.orbax"):
+            if f != out:
+                import shutil
+                shutil.rmtree(f, ignore_errors=True)
+    return out
+
+
+def load_checkpoint_sharded(path, like=None, sharding=None):
+    """Restore an orbax checkpoint. `like` supplies the pytree structure;
+    `sharding` (a jax.sharding.Sharding, or a pytree of them matching `like`)
+    restores each leaf already laid out across the mesh — no host-memory
+    round trip of the full scene."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    if like is None:
+        return ckptr.restore(Path(path).absolute())
+
+    def abstract(x, s):
+        return jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype,
+                                    sharding=s)
+
+    if sharding is None or not isinstance(sharding, type(like)):
+        tmpl = jax.tree_util.tree_map(lambda x: abstract(x, sharding), like)
+    else:
+        tmpl = jax.tree_util.tree_map(abstract, like, sharding)
+    return ckptr.restore(Path(path).absolute(), tmpl)
+
+
 def latest_checkpoint(ckpt_dir) -> Path | None:
     ckpts = sorted(Path(ckpt_dir).glob("step-*.npz"))
+    if not ckpts:
+        ckpts = sorted(Path(ckpt_dir).glob("step-*.orbax"))
     return ckpts[-1] if ckpts else None
 
 

@@ -66,34 +66,64 @@ class DensifyState:
     radii_max: jnp.ndarray    # [Nmax] max screen radius / max(W, H)
 
 
+def pad_scene(scene: GaussianScene, pad: int) -> GaussianScene:
+    """Append `pad` dead slots (far-transparent, never rasterized)."""
+    if not pad:
+        return scene
+
+    def grow(x):
+        return jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+
+    return GaussianScene(
+        means=grow(scene.means),
+        scales=jnp.concatenate([scene.scales, jnp.full((pad, 3), -15.0)]),
+        quats=jnp.concatenate(
+            [scene.quats, jnp.tile(jnp.array([[1.0, 0, 0, 0]]), (pad, 1))]),
+        opacities=jnp.concatenate([scene.opacities,
+                                   jnp.full((pad, 1), -15.0)]),
+        features_dc=grow(scene.features_dc),
+        features_rest=grow(scene.features_rest),
+    )
+
+
 def init_state(scene: GaussianScene, capacity: int
                ) -> Tuple[GaussianScene, DensifyState]:
     """Pad a scene to `capacity` slots; padded slots are dead."""
     n = scene.num_gaussians
     assert capacity >= n, (capacity, n)
-    pad = capacity - n
-
-    def grow(x):
-        return jnp.concatenate(
-            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)]) if pad else x
-
-    scene = GaussianScene(
-        means=grow(scene.means),
-        scales=jnp.concatenate([scene.scales,
-                                jnp.full((pad, 3), -15.0)]) if pad else scene.scales,
-        quats=jnp.concatenate(
-            [scene.quats,
-             jnp.tile(jnp.array([[1.0, 0, 0, 0]]), (pad, 1))]) if pad else scene.quats,
-        opacities=jnp.concatenate([scene.opacities,
-                                   jnp.full((pad, 1), -15.0)]) if pad else scene.opacities,
-        features_dc=grow(scene.features_dc),
-        features_rest=grow(scene.features_rest),
-    )
+    scene = pad_scene(scene, capacity - n)
     alive = jnp.arange(capacity) < n
     return scene, DensifyState(alive=alive,
                                grad_accum=jnp.zeros((capacity,), jnp.float32),
                                grad_count=jnp.zeros((capacity,), jnp.float32),
                                radii_max=jnp.zeros((capacity,), jnp.float32))
+
+
+def grow_capacity(scene: GaussianScene, state: DensifyState, opt_state,
+                  new_cap: int):
+    """Bucketed buffer growth: re-pad scene/state/optimizer to `new_cap`.
+
+    The train step is compiled per capacity bucket; growing ~2x whenever the
+    buffer passes ~80% full costs a handful of recompiles instead of paying
+    the final capacity's projection/binning cost from step 0."""
+    old = scene.num_gaussians
+    pad = new_cap - old
+    assert pad > 0, (old, new_cap)
+    scene = pad_scene(scene, pad)
+
+    def grow(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == old:
+            return jnp.concatenate(
+                [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+        return x
+
+    state = DensifyState(alive=jnp.concatenate(
+        [state.alive, jnp.zeros((pad,), bool)]),
+        grad_accum=grow(state.grad_accum),
+        grad_count=grow(state.grad_count),
+        radii_max=grow(state.radii_max))
+    opt_state = jax.tree_util.tree_map(grow, opt_state)
+    return scene, state, opt_state
 
 
 def accumulate(state: DensifyState, mean_grads: jnp.ndarray,

@@ -23,8 +23,8 @@ import numpy as np
 
 from gaussctrl_tpu.cameras.camera import Cameras
 from gaussctrl_tpu.splat.densify import (
-    DensifyConfig, DensifyState, accumulate, init_state, refine,
-    reset_opacities,
+    DensifyConfig, DensifyState, accumulate, grow_capacity, init_state,
+    refine, reset_opacities,
 )
 from gaussctrl_tpu.splat.losses import splat_loss
 from gaussctrl_tpu.splat.project import project_gaussians
@@ -145,7 +145,12 @@ def pretrain(
     import optax
 
     scene = from_points(points_xyz, points_rgb, sh_degree)
-    capacity = int(cfg.capacity_mult * scene.num_gaussians)
+    n_seed = scene.num_gaussians
+    cap_max = int(cfg.capacity_mult * n_seed)
+    # bucketed static shapes: start near the seed count and double as the
+    # buffer fills (grow_capacity) — a handful of recompiles instead of
+    # paying cap_max's projection/binning cost from step 0
+    capacity = min(cap_max, -(-int(1.5 * n_seed) // 4096) * 4096)
     scene, dstate = init_state(scene, capacity)
     optimizer = make_optimizer(cfg.train)
     opt_state = optimizer.init(scene)
@@ -195,6 +200,13 @@ def pretrain(
             opt_state = _reset_newborn_moments(opt_state, born)
             if log_fn:
                 log_fn(step, {k: int(v) for k, v in stats.items()})
+            cap = scene.num_gaussians
+            if cap < cap_max and int(stats["n_alive"]) > 0.8 * cap:
+                new_cap = min(cap_max, 2 * cap)
+                scene, dstate, opt_state = grow_capacity(
+                    scene, dstate, opt_state, new_cap)
+                if log_fn:
+                    log_fn(step, {"capacity": new_cap})
         if in_window and d.reset_alpha_every and step % d.reset_alpha_every == 0 \
                 and step > 0:
             scene = reset_opacities(scene, dstate.alive,

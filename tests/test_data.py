@@ -75,6 +75,31 @@ def test_ckpt_pytree_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(scene2.means), np.asarray(scene.means))
 
 
+def test_orbax_sharded_ckpt_roundtrip(tmp_path):
+    """Save a gaussian-axis-sharded scene via orbax; restore it already laid
+    out on the mesh (the multi-host checkpoint path, ROADMAP item 10)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gaussctrl_tpu.core.ckpt import (
+        latest_checkpoint, load_checkpoint_sharded, save_checkpoint_sharded,
+    )
+    from gaussctrl_tpu.core.mesh import make_mesh
+    from gaussctrl_tpu.splat.scene import random_scene
+
+    mesh = make_mesh()                         # 8 virtual CPU devices
+    sh = NamedSharding(mesh, P("view"))
+    scene = jax.device_put(random_scene(jax.random.PRNGKey(2), 64), sh)
+    p1 = save_checkpoint_sharded(tmp_path, 100, scene)
+    p2 = save_checkpoint_sharded(tmp_path, 250, scene)
+    assert not p1.exists() and p2.exists()     # latest-only pruning
+    assert latest_checkpoint(tmp_path) == p2
+    back = load_checkpoint_sharded(p2, like=scene, sharding=sh)
+    np.testing.assert_allclose(np.asarray(back.means),
+                               np.asarray(scene.means))
+    assert back.means.sharding.is_equivalent_to(sh, back.means.ndim)
+
+
 def test_import_splatfacto_ckpt(tmp_path):
     import torch
 

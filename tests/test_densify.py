@@ -99,6 +99,37 @@ def test_full_buffer_split_keeps_parent():
     assert int(st2.alive.sum()) == 20
 
 
+def test_grow_capacity_preserves_state():
+    import optax
+    from gaussctrl_tpu.splat.densify import grow_capacity
+    from gaussctrl_tpu.splat.trainer import make_optimizer
+
+    scene, st = _padded(n=8, cap=10)
+    opt = make_optimizer()
+    opt_state = opt.init(scene)
+    # put nonzero Adam moments on row 3 to check they survive the re-pad
+    opt_state = jax.tree_util.tree_map(
+        lambda x: x.at[3].set(1.5) if hasattr(x, "ndim") and x.ndim >= 1
+        and x.shape[0] == 10 else x, opt_state)
+    scene2, st2, opt2 = grow_capacity(scene, st, opt_state, 24)
+    assert scene2.num_gaussians == 24
+    assert int(st2.alive.sum()) == 8 and not bool(st2.alive[15])
+    np.testing.assert_allclose(np.asarray(scene2.means[:10]),
+                               np.asarray(scene.means))
+    # new slots are dead (never rasterize) and their moments are zero
+    assert float(jax.nn.sigmoid(scene2.opacities[20, 0])) < 1e-5
+    leaves = [x for x in jax.tree_util.tree_leaves(opt2)
+              if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == 24]
+    assert leaves, "no per-gaussian optimizer rows found"
+    for x in leaves:
+        assert float(jnp.abs(x[3]).max()) == 1.5
+        assert float(jnp.abs(x[12:]).max()) == 0.0
+    # the grown buffers still train: one refine pass runs at the new cap
+    scene3, st3, stats = refine(scene2, st2, jax.random.PRNGKey(0),
+                                DensifyConfig(cull_scale3d=10.0))
+    assert int(st3.alive.sum()) == 8
+
+
 def test_reset_opacities_only_alive():
     scene, st = _padded()
     out = reset_opacities(scene, st.alive, value=0.01)

@@ -35,6 +35,7 @@ def model_and_params():
     return model, params["params"]
 
 
+@pytest.mark.slow
 def test_forward_shapes(model_and_params):
     model, params = model_and_params
     im = jax.random.uniform(jax.random.PRNGKey(1),
@@ -224,6 +225,7 @@ def _fake_torch_sd():
     return sd
 
 
+@pytest.mark.slow
 def test_weight_conversion_structure(model_and_params):
     """convert_dino must produce exactly the flax init tree (names+shapes)."""
     model, init_params = model_and_params
@@ -258,6 +260,7 @@ def test_tokenizer_wordpiece(tmp_path):
     assert tok.encode("zzz")[1] == 1                     # UNK
 
 
+@pytest.mark.slow
 def test_proposer_returns_boxes(model_and_params, tmp_path):
     model, params = model_and_params
     vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", ".", "?", "bear"] + \

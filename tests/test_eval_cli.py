@@ -1,8 +1,10 @@
 """Eval CLI: CLIP metrics over render directories."""
 
 import numpy as np
+import pytest
 
 
+@pytest.mark.slow
 def test_eval_cli(tmp_path, capsys):
     from PIL import Image
 

@@ -40,6 +40,7 @@ def test_box_proposer_output_contract(masker):
             assert 0 <= b[0] < b[2] <= 48 and 0 <= b[1] < b[3] <= 48
 
 
+@pytest.mark.slow
 def test_grounded_masker_shapes(masker):
     imgs = jax.random.uniform(jax.random.PRNGKey(3), (2, 48, 48, 3))
     masks = masker(imgs, "a bear")

@@ -26,6 +26,7 @@ def test_window_roundtrip():
     np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_sam_predict_shapes(sam):
     cfg = sam.cfg
     imgs = jax.random.uniform(jax.random.PRNGKey(1),
@@ -39,6 +40,7 @@ def test_sam_predict_shapes(sam):
     assert np.isfinite(np.asarray(masks)).all()
 
 
+@pytest.mark.slow
 def test_box_location_affects_mask(sam):
     cfg = sam.cfg
     emb = sam.encode(jax.random.uniform(jax.random.PRNGKey(2),

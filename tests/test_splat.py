@@ -237,6 +237,7 @@ def test_rasterize_few_large_gaussians_no_overflow():
     assert int(stats["n_isect"]) == 48
 
 
+@pytest.mark.slow
 def test_blend_custom_vjp_matches_autodiff(rng):
     """The manual blend backward (sort + segmented gather) must match
     autodiff of the reference blend implementation on all parameters."""

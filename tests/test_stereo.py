@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gaussctrl_tpu.splat.scene import GaussianScene
 from gaussctrl_tpu.cameras.stereo import render_ods, render_pano, render_vr180
@@ -24,6 +25,7 @@ IDENTITY = np.array([[1.0, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 0]])
 RED = [[2.0, -1.0, -1.0]]
 
 
+@pytest.mark.slow
 def test_mono_pano_places_azimuth_correctly():
     """A blob at world +x (azimuth +90 deg) must land at 3/4 panorama width;
     a blob straight ahead (-z) at the center column."""
@@ -39,6 +41,7 @@ def test_mono_pano_places_azimuth_correctly():
     assert abs(green_col - W // 2) <= 2, green_col
 
 
+@pytest.mark.slow
 def test_ods_parallax_shifts_eyes_apart():
     """A near object must appear at different azimuths in the two ODS eyes
     (opposite shifts), a far object at nearly the same azimuth."""
@@ -62,6 +65,7 @@ def test_ods_parallax_shifts_eyes_apart():
     assert abs(l_col - r_col) <= 1, (l_col, r_col)
 
 
+@pytest.mark.slow
 def test_vr180_layout_and_field():
     """VR180 = left|right 180-degree halves; a forward blob shows up at the
     center of each half."""

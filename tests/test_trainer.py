@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gaussctrl_tpu.cameras.camera import make_cameras
 from gaussctrl_tpu.splat.losses import splat_loss, ssim
@@ -39,6 +40,7 @@ def test_splat_loss_zero_for_identical(rng):
     assert float(m["psnr"]) > 60
 
 
+@pytest.mark.slow
 def test_reoptimize_recovers_perturbed_scene():
     key = jax.random.PRNGKey(0)
     scene = random_scene(key, 150, sh_degree=1, extent=0.8)
@@ -93,6 +95,7 @@ def test_exp_so3_matches_scipy_free_reference():
     assert np.allclose(R @ R.T, np.eye(3), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_camera_opt_recovers_pose_perturbation():
     """camera_opt (SO3xR3 deltas, gc_config.py:84-86) must compensate a
     deliberately wrong camera pose instead of corrupting the scene."""
