@@ -19,11 +19,13 @@ XLA, so this is a re-design around static shapes:
   3. RANGE  Per-tile [start, end) ranges via a vectorized manual binary
             search (jnp.searchsorted's scan lowering measured 27 ms for 1k
             queries; the fori_loop version is sub-ms).
-  4. BLEND  Per-tile front-to-back alpha compositing over a static per-tile
-            capacity, vectorized across the 16x16=256 pixels of every tile
-            (VPU-shaped: [tiles, cap, 256] elementwise + cumprod
-            transmittance). Overflowing gaussians beyond the capacity are the
-            *furthest* ones (sorted), i.e. the mostly-occluded tail.
+  4. BLEND  Per-tile front-to-back alpha compositing in capacity-sized
+            SEGMENTS of the sorted list, vectorized across the 16x16=256
+            pixels of every tile (VPU-shaped: [tiles, cap, 256] elementwise
+            + cumprod transmittance). A while_loop carries the running
+            transmittance across segments and stops once every pixel
+            saturates (T < T_EPS) — per-tile lists of any length render
+            exactly, with the CUDA rasterizer's early-termination economics.
 
 Everything after SORT is autodiff-able; the integer binning quantities are
 computed under `stop_gradient` while the blended values (xys, conics, colors,
@@ -71,8 +73,15 @@ class RasterConfig:
     # large-class buffer capacity = clamp(N // large_divisor, 64, N); spans
     # beyond capacity render through the clamped small window instead
     large_divisor: int = struct.field(pytree_node=False, default=16)
-    # max gaussians blended per tile (front-most kept)
+    # gaussians blended per SEGMENT of a tile's sorted list (longer lists
+    # loop segments with early exit on saturation — nothing is dropped)
     tile_capacity: int = struct.field(pytree_node=False, default=768)
+    # the sorted intersection buffer is sliced to candidate_slots/divisor
+    # entries: the padded class grids are ~3.6x larger than the real
+    # intersection count on trained scenes, and every downstream pass
+    # (segment gathers, backward instance buffer, reduce sort) scales with
+    # the buffer length. n_isect > buffer ⇒ overflow (see rasterize stats)
+    isect_divisor: int = struct.field(pytree_node=False, default=2)
     # tiles processed per blending step (memory knob)
     tile_chunk: int = struct.field(pytree_node=False, default=128)
 
@@ -199,6 +208,14 @@ def _bin_and_sort(xys, depths, radii, n_tiles_x, n_tiles_y, cfg: RasterConfig):
         n_isect = jnp.where(eff_large, spxL * spyL, spxS * spyS).sum()
 
     s_keys, s_idx = jax.lax.sort((keys, payload), num_keys=1)
+    # real intersections sort to the front (sentinels last): keep a static
+    # budget of the buffer so every downstream pass is sized to ~the real
+    # count, not the padded grids. Entries beyond the budget are dropped ⇒
+    # overflow is visible as n_isect > budget in the rasterize stats.
+    budget = max(1024, keys.shape[0] // max(cfg.isect_divisor, 1))
+    if budget < keys.shape[0]:
+        s_keys = s_keys[:budget]
+        s_idx = s_idx[:budget]
 
     tq = (jnp.arange(n_tiles + 1, dtype=jnp.uint32) << shift)
     bounds = _searchsorted_u32(s_keys, tq)
@@ -206,9 +223,52 @@ def _bin_and_sort(xys, depths, radii, n_tiles_x, n_tiles_y, cfg: RasterConfig):
                    n_isect=n_isect)
 
 
+def _segment_alpha(binned, xys, conics, colors, opacities, start, end,
+                   seg_base, cap, px, py):
+    """Recompute one capacity segment's per-instance alphas for a tile chunk.
+
+    seg_base [G] = start + s*cap. Returns (alpha [G,C,P], gather aux)."""
+    k = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    pos = seg_base[:, None] + k                                     # [G, C]
+    take = jnp.minimum(pos, binned.gauss_idx.shape[0] - 1)
+    live = pos < end[:, None]
+    gi = binned.gauss_idx[take]
+
+    g_xy = xys[gi]
+    g_conic = conics[gi]
+    g_color = colors[gi]
+    g_op = opacities[gi]
+
+    dx = g_xy[:, :, 0:1] - px[:, None, :]                           # [G, C, P]
+    dy = g_xy[:, :, 1:2] - py[:, None, :]
+    a, b, c = (g_conic[:, :, 0:1], g_conic[:, :, 1:2], g_conic[:, :, 2:3])
+    sigma = 0.5 * (a * dx * dx + c * dy * dy) + b * dx * dy
+    e_sig = jnp.exp(-sigma)
+    araw = g_op[:, :, None] * e_sig
+    alpha_c = jnp.minimum(0.999, araw)
+    cond = (sigma >= 0) & (alpha_c >= ALPHA_THRESH) & live[:, :, None]
+    alpha = jnp.where(cond, alpha_c, 0.0)
+    aux = dict(gi=gi, take=take, live=live, g_color=g_color, dx=dx, dy=dy,
+               a=a, b=b, c=c, e_sig=e_sig, araw=araw, cond=cond)
+    return alpha, aux
+
+
+def _num_segments(start, end, cap):
+    """Segments needed to cover the longest tile list in a chunk."""
+    return ((end - start).max() + cap - 1) // cap
+
+
 def _blend_tiles(binned: _Binned, xys, conics, colors, opacities, background,
                  n_tiles_x, n_tiles_y, cfg: RasterConfig):
-    """Front-to-back alpha compositing for every tile. Differentiable."""
+    """Front-to-back alpha compositing for every tile. Differentiable.
+
+    Tiles may hold arbitrarily many gaussians: the sorted per-tile list is
+    processed in `tile_capacity`-sized segments under a while_loop that
+    carries the running transmittance, stopping early once every pixel of
+    the chunk saturates (T < T_EPS) — the TPU analog of the CUDA
+    rasterizer's per-pixel early termination. (A single capped pass
+    silently dropped the back gaussians: on a 134k-gaussian bear scene 60%
+    of tiles overflowed 768 entries, corrupting renders AND gradients.)"""
     ts = cfg.tile_size
     cap = cfg.tile_capacity
     n_tiles = n_tiles_x * n_tiles_y
@@ -219,60 +279,70 @@ def _blend_tiles(binned: _Binned, xys, conics, colors, opacities, background,
     pix_x = jnp.tile(pix, ts)                 # [256]
     pix_y = jnp.repeat(pix, ts)               # [256]
 
+    # process tiles in descending-occupancy order: each chunk's segment loop
+    # runs to its LONGEST member, so mixing a 4000-deep tile with empty ones
+    # (row-major order does) makes every tile pay the max — sorted chunks
+    # make total work track Σ lengths instead of Σ chunk-maxima
+    order = jnp.argsort(binned.starts - binned.ends)      # descending length
+    inv = jnp.argsort(order)
+
     def blend_chunk(tile_base):
-        tids = tile_base + jnp.arange(cfg.tile_chunk, dtype=jnp.int32)  # [G]
+        pos = jnp.minimum(tile_base + jnp.arange(cfg.tile_chunk,
+                                                 dtype=jnp.int32),
+                          n_tiles - 1)
+        tids = order[pos]                                               # [G]
         tx = (tids % n_tiles_x).astype(jnp.float32) * ts
         ty = (tids // n_tiles_x).astype(jnp.float32) * ts
         start = binned.starts[tids]                                     # [G]
         end = binned.ends[tids]
-        k = jnp.arange(cap, dtype=jnp.int32)[None, :]                   # [1, C]
-        take = jnp.minimum(start[:, None] + k, binned.gauss_idx.shape[0] - 1)
-        live = start[:, None] + k < end[:, None]                        # [G, C]
-        gi = binned.gauss_idx[take]                                     # [G, C]
-
-        g_xy = xys[gi]                                                  # [G, C, 2]
-        g_conic = conics[gi]                                            # [G, C, 3]
-        g_color = colors[gi]                                            # [G, C, ch]
-        g_op = opacities[gi]                                            # [G, C]
-
-        px = tx[:, None] + pix_x[None, :]                               # [G, 256]
+        px = tx[:, None] + pix_x[None, :]                               # [G, P]
         py = ty[:, None] + pix_y[None, :]
-        dx = g_xy[:, :, 0:1] - px[:, None, :]                           # [G, C, 256]
-        dy = g_xy[:, :, 1:2] - py[:, None, :]
-        a, b, c = (g_conic[:, :, 0:1], g_conic[:, :, 1:2], g_conic[:, :, 2:3])
-        sigma = 0.5 * (a * dx * dx + c * dy * dy) + b * dx * dy
-        alpha = jnp.minimum(0.999, g_op[:, :, None] * jnp.exp(-sigma))
-        alpha = jnp.where(
-            (sigma >= 0) & (alpha >= ALPHA_THRESH) & live[:, :, None], alpha, 0.0
-        )                                                               # [G, C, 256]
+        n_seg = _num_segments(start, end, cap)
 
-        one_minus = 1.0 - alpha
-        trans = jnp.cumprod(one_minus, axis=1)                          # inclusive
-        t_before = jnp.concatenate(
-            [jnp.ones_like(trans[:, :1, :]), trans[:, :-1, :]], axis=1
-        )                                                               # exclusive
-        w = alpha * t_before * (t_before > T_EPS)                       # [G, C, 256]
-        out = jnp.einsum("gcp,gck->gpk", w, g_color)                    # [G, 256, ch]
-        t_final = trans[:, -1, :]                                       # [G, 256]
-        out = out + t_final[:, :, None] * background[None, None, :]
-        return out, 1.0 - t_final
+        def cond(carry):
+            s, out, t_run = carry
+            return (s < n_seg) & (t_run.max() > T_EPS)
+
+        def body(carry):
+            s, out, t_run = carry
+            alpha, aux = _segment_alpha(binned, xys, conics, colors,
+                                        opacities, start, end,
+                                        start + s * cap, cap, px, py)
+            one_minus = 1.0 - alpha
+            trans = jnp.cumprod(one_minus, axis=1)                  # inclusive
+            local_before = jnp.concatenate(
+                [jnp.ones_like(trans[:, :1, :]), trans[:, :-1, :]], axis=1)
+            t_before = t_run[:, None, :] * local_before             # [G, C, P]
+            w = alpha * t_before * (t_before > T_EPS)
+            out = out + jnp.einsum("gcp,gck->gpk", w, aux["g_color"])
+            return s + 1, out, t_run * trans[:, -1, :]
+
+        out0 = jnp.zeros((cfg.tile_chunk, ts * ts, ch), jnp.float32)
+        t0 = jnp.ones((cfg.tile_chunk, ts * ts), jnp.float32)
+        _, out, t_run = jax.lax.while_loop(cond, body, (jnp.int32(0), out0, t0))
+        out = out + t_run[:, :, None] * background[None, None, :]
+        return out, 1.0 - t_run
 
     n_chunks = (n_tiles + cfg.tile_chunk - 1) // cfg.tile_chunk
     bases = jnp.arange(n_chunks, dtype=jnp.int32) * cfg.tile_chunk
-    outs, alphas = jax.lax.map(jax.checkpoint(blend_chunk), bases)
-    # [n_chunks, G, 256, ch] → [T, 256, ch]
-    outs = outs.reshape(n_chunks * cfg.tile_chunk, ts * ts, ch)[:n_tiles]
-    alphas = alphas.reshape(n_chunks * cfg.tile_chunk, ts * ts)[:n_tiles]
+    outs, alphas = jax.lax.map(blend_chunk, bases)
+    # [n_chunks, G, 256, ch] (occupancy-sorted rows) → [T, 256, ch]
+    outs = outs.reshape(n_chunks * cfg.tile_chunk, ts * ts, ch)[inv]
+    alphas = alphas.reshape(n_chunks * cfg.tile_chunk, ts * ts)[inv]
     return outs, alphas
 
 
 def _blend_bwd_instance_grads(binned: _Binned, xys, conics, colors, opacities,
                               background, g_tiles, g_alpha, n_tiles_x,
                               n_tiles_y, cfg: RasterConfig):
-    """Manual backward of `_blend_tiles`: per-INSTANCE gradients in the
-    [tiles, capacity] layout (plus the background cotangent), via
+    """Manual backward of `_blend_tiles`: per-INSTANCE gradients aligned to
+    the sorted bin buffer (plus the background cotangent), via segmented
     transmittance replay — the TPU analog of gsplat's backward, with the
-    atomic adds deferred to `_reduce_by_gaussian`.
+    atomic adds deferred to `_reduce_by_gaussian`. Two passes per chunk:
+    pass A accumulates the per-pixel total Q = Σ_j (g·c_j) w_j and final
+    transmittance, pass B replays with the running prefix so each segment
+    sees its exact suffix sum; both early-exit on saturation like the
+    forward.
 
     For out_p = Σ_i w_i c_i + T_fin·bg, w_i = α_i T_i m_i, T_i = Π_{j<i}(1−α_j):
       ∂L/∂α_i = (g·c_i) T_i m_i − [S_i + (g·bg − g_A)·T_fin] / (1−α_i),
@@ -283,6 +353,7 @@ def _blend_bwd_instance_grads(binned: _Binned, xys, conics, colors, opacities,
     n_tiles = n_tiles_x * n_tiles_y
     ch = colors.shape[-1]
     m_buf = binned.gauss_idx.shape[0]
+    d = 2 + 3 + ch + 1
 
     pix = jnp.arange(ts, dtype=jnp.float32) + 0.5
     pix_x = jnp.tile(pix, ts)
@@ -293,72 +364,124 @@ def _blend_bwd_instance_grads(binned: _Binned, xys, conics, colors, opacities,
     g_tiles_p = jnp.pad(g_tiles.astype(jnp.float32), ((0, pad_t), (0, 0), (0, 0)))
     g_alpha_p = jnp.pad(g_alpha.astype(jnp.float32), ((0, pad_t), (0, 0)))
 
-    def bwd_chunk(tile_base):
-        tids = tile_base + jnp.arange(cfg.tile_chunk, dtype=jnp.int32)
+    order = jnp.argsort(binned.starts - binned.ends)      # descending length
+    # (same occupancy-sorted chunking as the forward — see _blend_tiles)
+
+    def bwd_chunk(carry, tile_base):
+        inst_buf, g_bg_acc = carry
+        pos_raw = tile_base + jnp.arange(cfg.tile_chunk, dtype=jnp.int32)
+        real = pos_raw < n_tiles                # clamped rows duplicate a tile
+        tids = order[jnp.minimum(pos_raw, n_tiles - 1)]
         tx = (tids % n_tiles_x).astype(jnp.float32) * ts
         ty = (tids // n_tiles_x).astype(jnp.float32) * ts
         start = binned.starts[tids]
         end = binned.ends[tids]
-        k = jnp.arange(cap, dtype=jnp.int32)[None, :]
-        take = jnp.minimum(start[:, None] + k, m_buf - 1)
-        live = start[:, None] + k < end[:, None]
-        gi = binned.gauss_idx[take]
-
-        g_xy = xys[gi]
-        g_conic = conics[gi]
-        g_color = colors[gi]
-        g_op = opacities[gi]
-
         px = tx[:, None] + pix_x[None, :]
         py = ty[:, None] + pix_y[None, :]
-        dx = g_xy[:, :, 0:1] - px[:, None, :]
-        dy = g_xy[:, :, 1:2] - py[:, None, :]
-        a, b, c = (g_conic[:, :, 0:1], g_conic[:, :, 1:2], g_conic[:, :, 2:3])
-        sigma = 0.5 * (a * dx * dx + c * dy * dy) + b * dx * dy
-        e_sig = jnp.exp(-sigma)
-        araw = g_op[:, :, None] * e_sig
-        alpha_c = jnp.minimum(0.999, araw)
-        cond = (sigma >= 0) & (alpha_c >= ALPHA_THRESH) & live[:, :, None]
-        alpha = jnp.where(cond, alpha_c, 0.0)                       # [G,C,P]
-
-        one_minus = 1.0 - alpha
-        trans = jnp.cumprod(one_minus, axis=1)
-        t_before = jnp.concatenate(
-            [jnp.ones_like(trans[:, :1, :]), trans[:, :-1, :]], axis=1)
-        m = (t_before > T_EPS).astype(jnp.float32)
-        w = alpha * t_before * m                                    # [G,C,P]
-        t_final = trans[:, -1, :]                                   # [G,P]
-
-        go = g_tiles_p[tids]                                        # [G,P,ch]
-        gA = g_alpha_p[tids]                                        # [G,P]
-        gc = jnp.einsum("gpk,gck->gcp", go, g_color)                # g·c_i
+        go = jnp.where(real[:, None, None], g_tiles_p[tids], 0.0)   # [G,P,ch]
+        gA = jnp.where(real[:, None], g_alpha_p[tids], 0.0)         # [G,P]
         gbg = go @ background                                       # [G,P]
-        q = gc * w
-        s_after = jnp.flip(jnp.cumsum(jnp.flip(q, 1), axis=1), 1) - q
-        ga = (gc * t_before * m
-              - (s_after + (gbg - gA)[:, None, :] * t_final[:, None, :])
-              / one_minus)
-        ga = jnp.where(cond & (araw < 0.999), ga, 0.0)              # [G,C,P]
+        n_seg = _num_segments(start, end, cap)
+        k = jnp.arange(cap, dtype=jnp.int32)[None, :]
 
-        g_sigma = -ga * alpha
-        gx = (g_sigma * (a * dx + b * dy)).sum(-1)                  # [G,C]
-        gy = (g_sigma * (c * dy + b * dx)).sum(-1)
-        gca = (g_sigma * 0.5 * dx * dx).sum(-1)
-        gcb = (g_sigma * dx * dy).sum(-1)
-        gcc = (g_sigma * 0.5 * dy * dy).sum(-1)
-        gcol = jnp.einsum("gcp,gpk->gck", w, go)                    # [G,C,ch]
-        gop = (ga * e_sig).sum(-1)                                  # [G,C]
-        inst = jnp.concatenate(
-            [gx[..., None], gy[..., None], gca[..., None], gcb[..., None],
-             gcc[..., None], gcol, gop[..., None]], axis=-1)        # [G,C,D]
-        g_background = jnp.einsum("gp,gpk->k", t_final, go)
-        return inst, gi, live, g_background
+        # --- pass A: total per-pixel Q = Σ_j (g·c_j) w_j and final T
+        def condA(c):
+            s, t_run, _ = c
+            return (s < n_seg) & (t_run.max() > T_EPS)
+
+        def bodyA(c):
+            s, t_run, q_all = c
+            alpha, aux = _segment_alpha(binned, xys, conics, colors,
+                                        opacities, start, end,
+                                        start + s * cap, cap, px, py)
+            trans = jnp.cumprod(1.0 - alpha, axis=1)
+            local_before = jnp.concatenate(
+                [jnp.ones_like(trans[:, :1, :]), trans[:, :-1, :]], axis=1)
+            t_before = t_run[:, None, :] * local_before
+            w = alpha * t_before * (t_before > T_EPS)
+            gc = jnp.einsum("gpk,gck->gcp", go, aux["g_color"])
+            return s + 1, t_run * trans[:, -1, :], q_all + (gc * w).sum(1)
+
+        t0 = jnp.ones((cfg.tile_chunk, ts * ts), jnp.float32)
+        q0 = jnp.zeros((cfg.tile_chunk, ts * ts), jnp.float32)
+        _, t_final, q_all = jax.lax.while_loop(
+            condA, bodyA, (jnp.int32(0), t0, q0))
+
+        # --- pass B: replay with the running prefix of Q, emit instance
+        # grads into the buffer-aligned slot of each (tile, rank) instance
+        def condB(c):
+            s, t_run, _, _ = c
+            return (s < n_seg) & (t_run.max() > T_EPS)
+
+        def bodyB(c):
+            s, t_run, q_pre, buf = c
+            alpha, aux = _segment_alpha(binned, xys, conics, colors,
+                                        opacities, start, end,
+                                        start + s * cap, cap, px, py)
+            one_minus = 1.0 - alpha
+            trans = jnp.cumprod(one_minus, axis=1)
+            local_before = jnp.concatenate(
+                [jnp.ones_like(trans[:, :1, :]), trans[:, :-1, :]], axis=1)
+            t_before = t_run[:, None, :] * local_before
+            m = (t_before > T_EPS).astype(jnp.float32)
+            w = alpha * t_before * m
+            gc = jnp.einsum("gpk,gck->gcp", go, aux["g_color"])
+            q = gc * w
+            # suffix over the WHOLE tile list: total − inclusive prefix
+            s_after = (q_all[:, None, :] - q_pre[:, None, :]
+                       - jnp.cumsum(q, axis=1))
+            ga = (gc * t_before * m
+                  - (s_after + (gbg - gA)[:, None, :] * t_final[:, None, :])
+                  / one_minus)
+            ga = jnp.where(aux["cond"] & (aux["araw"] < 0.999), ga, 0.0)
+
+            a, b, c_ = aux["a"], aux["b"], aux["c"]
+            dx, dy = aux["dx"], aux["dy"]
+            g_sigma = -ga * alpha
+            gx = (g_sigma * (a * dx + b * dy)).sum(-1)              # [G,C]
+            gy = (g_sigma * (c_ * dy + b * dx)).sum(-1)
+            gca = (g_sigma * 0.5 * dx * dx).sum(-1)
+            gcb = (g_sigma * dx * dy).sum(-1)
+            gcc = (g_sigma * 0.5 * dy * dy).sum(-1)
+            gcol = jnp.einsum("gcp,gpk->gck", w, go)                # [G,C,ch]
+            gop = (ga * aux["e_sig"]).sum(-1)                       # [G,C]
+            inst = jnp.concatenate(
+                [gx[..., None], gy[..., None], gca[..., None], gcb[..., None],
+                 gcc[..., None], gcol, gop[..., None]], axis=-1)    # [G,C,D]
+            pos = start[:, None] + s * cap + k
+            # clamped duplicate rows alias a real tile's range with zeroed
+            # cotangents — mask their writes, or they overwrite the real
+            # tile's grads
+            ok = (pos < end[:, None]) & real[:, None]
+            # each tile's slots are CONTIGUOUS: write [cap, D] blocks via
+            # read-modify-write dynamic slices (a general scatter here made
+            # XLA rewrite the whole buffer per segment — 175 ms/step at 2M
+            # instances). buf carries `cap` pad rows so the window always
+            # fits; ok=False rows write back what they read.
+            seg_off = jnp.minimum(start + s * cap, m_buf)
+
+            def write_row(i, b):
+                blk = jax.lax.dynamic_slice_in_dim(b, seg_off[i], cap)
+                blk = jnp.where(ok[i, :, None], inst[i], blk)
+                return jax.lax.dynamic_update_slice_in_dim(
+                    b, blk, seg_off[i], 0)
+
+            buf = jax.lax.fori_loop(0, cfg.tile_chunk, write_row, buf)
+            return (s + 1, t_run * trans[:, -1, :],
+                    q_pre + q.sum(1), buf)
+
+        _, _, _, inst_buf = jax.lax.while_loop(
+            condB, bodyB, (jnp.int32(0), t0, q0, inst_buf))
+        g_bg_acc = g_bg_acc + jnp.einsum("gp,gpk->k", t_final, go)
+        return (inst_buf, g_bg_acc), None
 
     bases = jnp.arange(n_chunks, dtype=jnp.int32) * cfg.tile_chunk
-    inst, gi, live, g_bg = jax.lax.map(bwd_chunk, bases)
-    d = 2 + 3 + ch + 1
-    inst = inst.reshape(-1, d)
-    return inst, gi.reshape(-1), live.reshape(-1), g_bg.sum(0)
+    # `cap` pad rows so block writes at the buffer tail always fit
+    inst_buf0 = jnp.zeros((m_buf + cap, d), jnp.float32)
+    (inst_buf, g_bg), _ = jax.lax.scan(
+        bwd_chunk, (inst_buf0, jnp.zeros((ch,), jnp.float32)), bases)
+    live = jnp.arange(m_buf) < binned.ends[-1]
+    return inst_buf[:m_buf], binned.gauss_idx, live, g_bg
 
 
 def _reduce_by_gaussian(inst, gi, live, n, w_small, w_large, cap_many):
@@ -474,9 +597,10 @@ def rasterize(
 ):
     """Composite gaussians into an image. Returns (image [H,W,ch], alpha [H,W]).
 
-    With return_stats=True also returns {"n_isect": total intersections} so
-    callers can detect intersection-buffer overflow (n_isect > cap ⇒ some
-    gaussians were dropped; raise cfg.cap_multiplier).
+    With return_stats=True also returns {"n_isect": total intersections,
+    "isect_budget": buffer length} so callers can detect intersection-buffer
+    overflow (n_isect > isect_budget ⇒ some gaussians were dropped; lower
+    cfg.isect_divisor).
     """
     ts = cfg.tile_size
     n_tiles_x = (width + ts - 1) // ts
@@ -497,8 +621,10 @@ def rasterize(
     if return_stats:
         return img, alpha, {
             "n_isect": binned.n_isect,
-            # > cfg.tile_capacity ⇒ the furthest gaussians of some tiles were
-            # truncated (raise tile_capacity if it shows visually)
+            # n_isect > isect_budget ⇒ the binning buffer overflowed and the
+            # overflow entries were dropped (lower cfg.isect_divisor)
+            "isect_budget": jnp.int32(binned.gauss_idx.shape[0]),
+            # informational: deepest tile list (blended exactly via segments)
             "max_tile_count": (binned.ends - binned.starts).max(),
         }
     return img, alpha

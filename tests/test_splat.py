@@ -242,7 +242,7 @@ def test_blend_custom_vjp_matches_autodiff(rng):
     """The manual blend backward (sort + segmented gather) must match
     autodiff of the reference blend implementation on all parameters."""
     from gaussctrl_tpu.splat.rasterize import (
-        RasterConfig, _bin_and_sort, _blend_tiles, _blend_tiles_cv)
+        ALPHA_THRESH, T_EPS, RasterConfig, _bin_and_sort, _blend_tiles_cv)
 
     n, H, W = 40, 64, 96
     xys = jnp.asarray(rng.uniform(-8, 104, (n, 2)), jnp.float32)
@@ -264,8 +264,44 @@ def test_blend_custom_vjp_matches_autodiff(rng):
     gt = jnp.asarray(rng.uniform(-1, 1, (ntx * nty, 256, 4)), jnp.float32)
     ga = jnp.asarray(rng.uniform(-1, 1, (ntx * nty, 256)), jnp.float32)
 
+    def dense_blend(xys, conics, colors, opac, bg):
+        """Reverse-differentiable reference: one pass over the FULL sorted
+        buffer per tile (the production blend loops segments under a
+        while_loop, which autodiff can't reverse)."""
+        m_buf = binned.gauss_idx.shape[0]
+        ts = cfg.tile_size
+        pix = jnp.arange(ts, dtype=jnp.float32) + 0.5
+        px_off = jnp.tile(pix, ts)
+        py_off = jnp.repeat(pix, ts)
+        tids = jnp.arange(ntx * nty, dtype=jnp.int32)
+        tx = (tids % ntx).astype(jnp.float32) * ts
+        ty = (tids // ntx).astype(jnp.float32) * ts
+        start, end = binned.starts[tids], binned.ends[tids]
+        k = jnp.arange(m_buf, dtype=jnp.int32)[None, :]
+        take = jnp.minimum(start[:, None] + k, m_buf - 1)
+        live = start[:, None] + k < end[:, None]
+        gi = binned.gauss_idx[take]
+        g_xy, g_conic = xys[gi], conics[gi]
+        g_color, g_op = colors[gi], opac[gi]
+        px = tx[:, None] + px_off[None, :]
+        py = ty[:, None] + py_off[None, :]
+        dx = g_xy[:, :, 0:1] - px[:, None, :]
+        dy = g_xy[:, :, 1:2] - py[:, None, :]
+        a, b, c = (g_conic[:, :, 0:1], g_conic[:, :, 1:2], g_conic[:, :, 2:3])
+        sigma = 0.5 * (a * dx * dx + c * dy * dy) + b * dx * dy
+        alpha = jnp.minimum(0.999, g_op[:, :, None] * jnp.exp(-sigma))
+        alpha = jnp.where((sigma >= 0) & (alpha >= ALPHA_THRESH)
+                          & live[:, :, None], alpha, 0.0)
+        trans = jnp.cumprod(1.0 - alpha, axis=1)
+        t_before = jnp.concatenate(
+            [jnp.ones_like(trans[:, :1, :]), trans[:, :-1, :]], axis=1)
+        w = alpha * t_before * (t_before > T_EPS)
+        out = jnp.einsum("gcp,gck->gpk", w, g_color)
+        t_fin = trans[:, -1, :]
+        return out + t_fin[:, :, None] * bg[None, None, :], 1.0 - t_fin
+
     def loss_ref(xys, conics, colors, opac, bg):
-        t, a = _blend_tiles(binned, xys, conics, colors, opac, bg, ntx, nty, cfg)
+        t, a = dense_blend(xys, conics, colors, opac, bg)
         return (t * gt).sum() + (a * ga).sum()
 
     def loss_cv(xys, conics, colors, opac, bg):
@@ -279,6 +315,40 @@ def test_blend_custom_vjp_matches_autodiff(rng):
     for r, g, name in zip(ref, got, ["xys", "conics", "colors", "opac", "bg"]):
         np.testing.assert_allclose(
             np.asarray(g), np.asarray(r), rtol=2e-4, atol=2e-5, err_msg=name)
+
+
+def test_blend_deep_tiles_not_truncated(rng):
+    """Tiles holding far more gaussians than tile_capacity must render the
+    whole sorted list (segments), not drop the back (regression: 60% of
+    tiles overflowed on a 134k-gaussian scene, corrupting pre-training)."""
+    from gaussctrl_tpu.splat.rasterize import RasterConfig, rasterize
+
+    n = 120
+    # all gaussians piled on one 16x16 tile, translucent so depth matters
+    xys = jnp.asarray(rng.uniform(2, 14, (n, 2)), jnp.float32)
+    depths = jnp.asarray(np.linspace(1.0, 5.0, n), jnp.float32)
+    radii = jnp.full((n,), 4.0, jnp.float32)
+    conics = jnp.tile(jnp.asarray([[0.3, 0.0, 0.3]], jnp.float32), (n, 1))
+    colors = jnp.asarray(rng.uniform(0, 1, (n, 3)), jnp.float32)
+    opac = jnp.full((n,), 0.02, jnp.float32)    # never saturates
+    bg = jnp.zeros((3,), jnp.float32)
+
+    small = RasterConfig(tile_capacity=16, tile_chunk=1,
+                         max_tiles_x=4, max_tiles_y=4,
+                         small_tiles_x=4, small_tiles_y=4)
+    big = RasterConfig(tile_capacity=512, tile_chunk=1,
+                       max_tiles_x=4, max_tiles_y=4,
+                       small_tiles_x=4, small_tiles_y=4)
+    img_s, a_s = rasterize(xys, depths, radii, conics, colors, opac, bg,
+                           16, 16, small)
+    img_b, a_b = rasterize(xys, depths, radii, conics, colors, opac, bg,
+                           16, 16, big)
+    np.testing.assert_allclose(np.asarray(img_s), np.asarray(img_b),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a_s), np.asarray(a_b),
+                               rtol=1e-5, atol=1e-6)
+    assert float(a_b.max()) > 0.2               # real blended mass
+    assert np.isfinite(np.asarray(img_s)).all()
 
 
 def test_pallas_blend_matches_reference(rng):
