@@ -77,17 +77,24 @@ def _reset_newborn_moments(opt_state, born: jnp.ndarray):
 
 def _eval_psnr(scene, cameras, images, sh_degree, raster_cfg):
     """Full-resolution PSNR on 4 fixed views — a comparable convergence
-    metric (the per-step train PSNR is view- and schedule-resolution-noisy)."""
+    metric (the per-step train PSNR is view- and schedule-resolution-noisy).
+    Also reports intersection-buffer occupancy (>1.0 ⇒ binning overflow,
+    lower RasterConfig.isect_divisor)."""
     v_idx = [int(i * len(cameras) / 4) for i in range(4)]
     h, w = int(cameras.height), int(cameras.width)
     vals = []
+    isect_frac = 0.0
     for v in v_idx:
         out = render_rgbd(scene, cameras.c2w[v], cameras.fx[v], cameras.fy[v],
                           cameras.cx[v], cameras.cy[v], w, h,
-                          jnp.zeros(3), sh_degree, raster_cfg)
+                          jnp.zeros(3), sh_degree, raster_cfg,
+                          return_stats=True)
         mse = jnp.mean((out["rgb"] - images[v]) ** 2)
         vals.append(-10.0 * jnp.log10(jnp.maximum(mse, 1e-10)))
-    return {"eval_psnr": float(jnp.stack(vals).mean())}
+        isect_frac = max(isect_frac, float(out["stats"]["n_isect"])
+                         / float(out["stats"]["isect_budget"]))
+    return {"eval_psnr": float(jnp.stack(vals).mean()),
+            "isect_frac": round(isect_frac, 3)}
 
 
 @partial(jax.jit, static_argnames=("width", "height", "sh_degree",

@@ -31,12 +31,14 @@ def render_rgbd(
     background: jnp.ndarray,   # [3]
     sh_degree: int | None = None,
     cfg: RasterConfig = RasterConfig(),
+    return_stats: bool = False,
 ):
     """Render one view. Returns dict(rgb [H,W,3], depth [H,W,1], accumulation [H,W,1]).
 
     `sh_degree` is the *active* degree (progressive schedule handled by the
-    caller as in gc_model.py:165); None ⇒ the scene's full degree.
-    """
+    caller as in gc_model.py:165); None ⇒ the scene's full degree. With
+    `return_stats` the dict gains "stats" (rasterizer occupancy counters,
+    see rasterize)."""
     if sh_degree is None:
         sh_degree = scene.sh_degree
     viewmat = view_matrix(c2w)
@@ -59,18 +61,22 @@ def render_rgbd(
     # fused channels: [r, g, b, depth-premultiplied]
     chans = jnp.concatenate([rgbs, proj.depths[:, None]], axis=-1)
     bg4 = jnp.concatenate([background, jnp.zeros((1,), background.dtype)])
-    img, alpha = rasterize(
+    out = rasterize(
         proj.xys, proj.depths, proj.radii, proj.conics,
-        chans, opac, bg4, height, width, cfg,
+        chans, opac, bg4, height, width, cfg, return_stats=return_stats,
     )
+    img, alpha = out[0], out[1]
     rgb = jnp.clip(img[..., :3], None, 1.0)
     # alpha-normalized depth, 1000 where nothing hit (gc_model.py:203-204)
     depth = jnp.where(alpha > 0, img[..., 3] / jnp.maximum(alpha, 1e-10), 1000.0)
-    return {
+    result = {
         "rgb": rgb,
         "depth": depth[..., None],
         "accumulation": alpha[..., None],
     }
+    if return_stats:
+        result["stats"] = out[2]
+    return result
 
 
 @partial(jax.jit, static_argnames=("sh_degree", "cfg"))
