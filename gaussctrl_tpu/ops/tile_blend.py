@@ -106,9 +106,11 @@ def blend_tiles_pallas(
 ):
     """Forward-only tile blend. Returns (tiles [T, 256, ch], alpha [T, 256]).
 
-    Matches `_blend_tiles` semantics (same thresholds, same front-most
-    `tile_capacity` truncation); background composited on the host side of
-    the kernel for a cleaner accumulator.
+    NOTE: truncates each tile at the front-most `tile_capacity` entries —
+    the production `_blend_tiles` now loops capacity segments and renders
+    lists of any length exactly, so this opt-in kernel is only equivalent
+    when every tile fits in one segment. Background composited on the host
+    side of the kernel for a cleaner accumulator.
     """
     n_tiles = starts.shape[0]
     ch = colors.shape[-1]

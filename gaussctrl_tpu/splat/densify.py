@@ -33,10 +33,12 @@ from gaussctrl_tpu.splat.scene import GaussianScene
 
 @struct.dataclass
 class DensifyConfig:
-    # calibrated on the bear scene to select ~the top decile of the
-    # accumulated pixel-gradient criterion early in training (the classic
-    # 3DGS 2e-4 threshold applies to a differently-normalized statistic)
-    grad_thresh: float = struct.field(pytree_node=False, default=0.02)
+    # calibrated on the bear scene: 0.02 selected ~8% of alive gaussians per
+    # refine at full resolution with exact (untruncated) blending — a
+    # densification flood; 0.05 brings the selection to the ~1-2%/refine
+    # band splatfacto exhibits. (The classic 3DGS 2e-4 threshold applies to
+    # a differently-normalized statistic.)
+    grad_thresh: float = struct.field(pytree_node=False, default=0.05)
     densify_size_thresh: float = struct.field(pytree_node=False, default=0.01)
     # splatfacto semantics (cull_alpha_thresh=0.1, reset to 2x): the scene the
     # reference edits is pre-trained by splatfacto, whose shallow opacity

@@ -127,7 +127,9 @@ def pretrain_step(
     (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(scene)
     # visibility + depth of every gaussian in this view, for the grad stats
     proj = project_gaussians(scene.means, jnp.exp(scene.scales), scene.quats,
-                             view_matrix(c2w), fx, fy, cx, cy, width, height)
+                             view_matrix(c2w), fx, fy, cx, cy, width, height,
+                             opacities=jax.lax.stop_gradient(
+                                 jax.nn.sigmoid(scene.opacities[:, 0])))
     vis_depth = jnp.where(proj.radii > 0, proj.depths, 0.0)
     dstate = accumulate(dstate, grads.means, vis_depth, fx, width,
                         radii=proj.radii, height=height)

@@ -54,6 +54,7 @@ def project_gaussians(
     width: int, height: int,
     clip_thresh: float = 0.01,
     blur: float = 0.3,
+    opacities: jnp.ndarray | None = None,   # [N] post-sigmoid (optional)
 ) -> Projected:
     W_rot = viewmat[:3, :3]
     p_view = means @ W_rot.T + viewmat[:3, 3]
@@ -128,7 +129,18 @@ def project_gaussians(
     mid = 0.5 * (a + c)
     disc = jnp.sqrt(jnp.maximum(mid * mid - det, 0.1))
     lam1 = mid + disc
-    radius = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lam1, 0.0)))
+    # opacity-aware effective radius: the footprint ends where peak alpha
+    # falls below the blend threshold, alpha = opac·exp(-r²/2σ²) < 1/255 —
+    # pale gaussians get honest (much smaller) footprints, which both
+    # shrinks tile lists and keeps them inside the static tile windows
+    # (3σ splats cut at a window border showed as rectangular artifacts)
+    sigma = jnp.sqrt(jnp.maximum(lam1, 0.0))
+    if opacities is not None:
+        mult = jnp.sqrt(2.0 * jnp.log(jnp.maximum(opacities * 255.0, 1e-6)))
+        radius = jnp.ceil(jnp.minimum(3.0, mult) * sigma)
+        radius = jnp.where(opacities * 255.0 > 1.0, radius, 0.0)
+    else:
+        radius = jnp.ceil(3.0 * sigma)
 
     xys = jnp.stack(
         [fx * p_view[:, 0] * rz + cx, fy * p_view[:, 1] * rz + cy], -1

@@ -71,8 +71,10 @@ class RasterConfig:
     small_tiles_x: int = struct.field(pytree_node=False, default=4)
     small_tiles_y: int = struct.field(pytree_node=False, default=4)
     # large-class buffer capacity = clamp(N // large_divisor, 64, N); spans
-    # beyond capacity render through the clamped small window instead
-    large_divisor: int = struct.field(pytree_node=False, default=16)
+    # beyond capacity render through the clamped small window instead (a cut
+    # splat shows as a rectangle — keep this budget comfortably above the
+    # real large count; overflow is invisible in stats, so err generous)
+    large_divisor: int = struct.field(pytree_node=False, default=8)
     # gaussians blended per SEGMENT of a tile's sorted list (longer lists
     # loop segments with early exit on saturation — nothing is dropped)
     tile_capacity: int = struct.field(pytree_node=False, default=768)

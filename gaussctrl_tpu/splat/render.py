@@ -42,6 +42,7 @@ def render_rgbd(
     if sh_degree is None:
         sh_degree = scene.sh_degree
     viewmat = view_matrix(c2w)
+    opac = jax.nn.sigmoid(scene.opacities[:, 0])
     proj = project_gaussians(
         means=scene.means,
         scales=jnp.exp(scene.scales),
@@ -49,6 +50,7 @@ def render_rgbd(
         viewmat=viewmat,
         fx=fx, fy=fy, cx=cx, cy=cy,
         width=width, height=height,
+        opacities=jax.lax.stop_gradient(opac),
     )
     # view-dependent color (gc_model.py:162-167)
     cam_origin = c2w[:3, 3]
@@ -57,7 +59,6 @@ def render_rgbd(
     rgbs = eval_sh(sh_degree, jax.lax.stop_gradient(viewdirs), scene.colors)
     rgbs = jnp.clip(rgbs + 0.5, 0.0, None)
 
-    opac = jax.nn.sigmoid(scene.opacities[:, 0])
     # fused channels: [r, g, b, depth-premultiplied]
     chans = jnp.concatenate([rgbs, proj.depths[:, None]], axis=-1)
     bg4 = jnp.concatenate([background, jnp.zeros((1,), background.dtype)])
