@@ -685,6 +685,21 @@ class WordPieceTokenizer:
         ids.append(self.sep)
         return ids
 
+    def decode(self, ids) -> str:
+        inv = getattr(self, "_inv", None)
+        if inv is None:
+            inv = self._inv = {i: t for t, i in self.vocab.items()}
+        out = ""
+        for i in ids:
+            if int(i) in self.specials or int(i) == self.pad:
+                continue
+            t = inv.get(int(i), "")
+            if t.startswith("##"):
+                out += t[2:]
+            elif t and not t.startswith("["):
+                out += (" " if out else "") + t
+        return out
+
 
 class DinoBoxProposer:
     """Text -> per-view best xyxy box via GroundingDINO; plugs into
@@ -715,6 +730,34 @@ class DinoBoxProposer:
         # padded tokens attend only to themselves (all-False rows are NaN)
         return ids_np, pos.astype(np.int32), attn | np.eye(t, dtype=bool), \
             txt_mask
+
+    def predict_boxes(self, image, prompt: str, box_threshold: float = 0.3,
+                      text_threshold: float = 0.25):
+        """All detections on ONE image — the reference's predict_dino
+        contract (lang_sam.py:90-100): returns (boxes [K,4] xyxy px,
+        logits [K], phrases [K]) for queries whose best-token score clears
+        `box_threshold`; a phrase is the tokens above `text_threshold`."""
+        h, w, _ = np.shape(image)
+        size = self.model.cfg.img_size
+        ids, pos, attn, tmask = self._prep_text(prompt)
+        im = jax.image.resize(jnp.asarray(image)[None], (1, size, size, 3),
+                              "bilinear")
+        im = (im - IMAGENET_MEAN) / IMAGENET_STD
+        logits, bx = self._fwd(self.params, im, ids, pos, attn, tmask)
+        probs = np.asarray(jax.nn.sigmoid(logits))[0]          # [nq, T]
+        score = probs.max(-1)
+        keep = np.nonzero(score > box_threshold)[0]
+        keep = keep[np.argsort(-score[keep])]
+        boxes, phrases = [], []
+        ids0 = np.asarray(ids)[0]
+        for q in keep:
+            cx, cy, bw, bh = np.asarray(bx)[0, q]
+            boxes.append([(cx - bw / 2) * w, (cy - bh / 2) * h,
+                          (cx + bw / 2) * w, (cy + bh / 2) * h])
+            tok = ids0[probs[q] > text_threshold]
+            phrases.append(self.tokenizer.decode(tok))
+        return (np.asarray(boxes, np.float32).reshape(-1, 4),
+                score[keep], phrases)
 
     def __call__(self, images, prompt: str) -> np.ndarray:
         """images [V,H,W,3] in [0,1] -> boxes [V,4] xyxy px (−1s = none)."""

@@ -119,6 +119,52 @@ class GroundedSAMMasker:
         return jnp.concatenate(masks)
 
 
+class LangSAM:
+    """The reference's `LangSAM` API, verbatim (lang_sam.py:115-121):
+    `predict(image, text_prompt, box_threshold, text_threshold)` returns
+    (masks [K,H,W], boxes [K,4] xyxy, phrases [K], logits [K]) for ALL
+    detections. `image` may be a PIL image or an [H,W,3] array in [0,1]."""
+
+    def __init__(self, sam: SAM, proposer):
+        self.sam = sam
+        self.proposer = proposer
+        self._encode = jax.jit(sam.encode)
+        self._predict = jax.jit(sam.predict_boxes)
+
+    def predict(self, image, text_prompt: str, box_threshold: float = 0.3,
+                text_threshold: float = 0.25):
+        if hasattr(image, "convert"):                  # PIL image
+            image = np.asarray(image.convert("RGB"), np.float32) / 255.0
+        image = np.asarray(image, np.float32)
+        if image.max() > 1.5:
+            image = image / 255.0
+        h, w, _ = image.shape
+        if hasattr(self.proposer, "predict_boxes"):
+            boxes, logits, phrases = self.proposer.predict_boxes(
+                image, text_prompt, box_threshold, text_threshold)
+        else:                                          # single-box proposers
+            b = np.asarray(self.proposer(jnp.asarray(image)[None],
+                                         text_prompt))[0]
+            found = b[0] >= 0
+            boxes = b[None] if found else np.zeros((0, 4), np.float32)
+            logits = np.ones((1,), np.float32) if found else np.zeros((0,))
+            phrases = [text_prompt] if found else []
+        if len(boxes) == 0:
+            return (np.zeros((0, h, w), np.float32), boxes, phrases, logits)
+        size = self.sam.cfg.img_size
+        k = len(boxes)
+        im = jax.image.resize(jnp.asarray(image)[None], (1, size, size, 3),
+                              "bilinear")
+        emb = self._encode(im)
+        emb = jnp.broadcast_to(emb, (k,) + emb.shape[1:])
+        scale = np.array([size / w, size / h, size / w, size / h], np.float32)
+        mlogits, _ = self._predict(emb, jnp.asarray(
+            np.clip(boxes, 0, None) * scale))
+        masks = (mlogits > 0).astype(np.float32)
+        masks = jax.image.resize(masks[..., None], (k, h, w, 1), "nearest")
+        return np.asarray(masks)[..., 0], boxes, phrases, logits
+
+
 def build_langsam_equivalent(
     sam_ckpt: Optional[str] = None,
     clip_dir: Optional[str] = None,

@@ -260,6 +260,41 @@ def test_tokenizer_wordpiece(tmp_path):
     assert tok.encode("zzz")[1] == 1                     # UNK
 
 
+def test_tokenizer_decode_roundtrip(tmp_path):
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", ".", "?", "bear", "pol",
+             "##ar", "the"]
+    vp = tmp_path / "vocab.txt"
+    vp.write_text("\n".join(vocab) + "\n")
+    tok = WordPieceTokenizer(str(vp))
+    ids = tok.encode("the polar bear.")
+    assert tok.decode(ids) == "the polar bear"   # specials/punct stripped
+
+
+@pytest.mark.slow
+def test_langsam_predict_api(model_and_params, tmp_path):
+    """The reference LangSAM.predict contract: (masks, boxes, phrases,
+    logits) for all detections on one image (lang_sam.py:115-121)."""
+    from gaussctrl_tpu.seg.grounding import LangSAM
+    from gaussctrl_tpu.seg.sam import SAM, SAMConfig
+
+    model, params = model_and_params
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", ".", "?", "bear"] + \
+        [f"tok{i}" for i in range(40)]
+    vp = tmp_path / "vocab.txt"
+    vp.write_text("\n".join(vocab) + "\n")
+    prop = DinoBoxProposer(model, params, WordPieceTokenizer(str(vp)))
+    ls = LangSAM(SAM.create(SAMConfig.tiny()), prop)
+    img = np.random.default_rng(1).uniform(size=(56, 48, 3)).astype(np.float32)
+    masks, boxes, phrases, logits = ls.predict(img, "bear", box_threshold=0.0)
+    k = len(boxes)
+    assert masks.shape == (k, 56, 48) and len(phrases) == k == len(logits)
+    assert k > 0                                  # threshold 0 keeps all
+    assert (logits[:-1] >= logits[1:]).all()      # sorted by confidence
+    # empty result contract: impossible threshold
+    masks, boxes, phrases, logits = ls.predict(img, "bear", box_threshold=2.0)
+    assert masks.shape == (0, 56, 48) and len(boxes) == 0
+
+
 @pytest.mark.slow
 def test_proposer_returns_boxes(model_and_params, tmp_path):
     model, params = model_and_params
