@@ -238,9 +238,12 @@ def test_rasterize_few_large_gaussians_no_overflow():
 
 
 @pytest.mark.slow
-def test_blend_custom_vjp_matches_autodiff(rng):
-    """The manual blend backward (sort + segmented gather) must match
-    autodiff of the reference blend implementation on all parameters."""
+@pytest.mark.parametrize("cap", [48, 4])
+def test_blend_custom_vjp_matches_autodiff(rng, cap):
+    """The manual blend backward (two-pass segmented replay) must match
+    autodiff of a dense reference blend on all parameters. cap=4 forces
+    every tile through MANY segments (the multi-segment suffix-sum path);
+    cap=48 is the single-segment regime."""
     from gaussctrl_tpu.splat.rasterize import (
         ALPHA_THRESH, T_EPS, RasterConfig, _bin_and_sort, _blend_tiles_cv)
 
@@ -254,9 +257,14 @@ def test_blend_custom_vjp_matches_autodiff(rng):
     co = jnp.asarray(rng.uniform(-0.9, 0.9, (n,)), jnp.float32)
     conics = jnp.stack([L[:, 0], co * jnp.sqrt(L[:, 0] * L[:, 1]), L[:, 1]], -1)
     colors = jnp.asarray(rng.uniform(0, 1, (n, 4)), jnp.float32)
-    opac = jnp.asarray(rng.uniform(0.1, 0.95, (n,)), jnp.float32)
+    # low opacities in the multi-segment case keep transmittance above
+    # T_EPS: the segmented blend stops at chunk saturation while the dense
+    # reference keeps multiplying, so their T_fin (hence bg-grad) diverge by
+    # up to T_EPS per pixel — a real, documented semantic difference
+    hi = 0.95 if cap == 48 else 0.30
+    opac = jnp.asarray(rng.uniform(0.1, hi, (n,)), jnp.float32)
     bg = jnp.asarray(rng.uniform(0, 1, (4,)), jnp.float32)
-    cfg = RasterConfig(tile_capacity=48, tile_chunk=3,
+    cfg = RasterConfig(tile_capacity=cap, tile_chunk=3,
                        max_tiles_x=8, max_tiles_y=8,
                        small_tiles_x=2, small_tiles_y=2, large_divisor=4)
     ntx, nty = (W + 15) // 16, (H + 15) // 16
