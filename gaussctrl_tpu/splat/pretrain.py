@@ -197,7 +197,16 @@ def pretrain(
         in_window = d.warmup < step < d.stop_at
         post_window = step >= d.stop_at
         scale_cull_on = step > d.reset_alpha_every  # post first opacity reset
-        if (in_window or post_window) and step % d.refine_every == 0:
+        # splatfacto pauses refinement for ~(num_views + refine_every) steps
+        # after every opacity reset: post-reset gradients spike everywhere
+        # and alpha-culling would judge opacities that haven't re-converged —
+        # refining in that window mass-culled and mass-split the recovering
+        # scene (measured: eval PSNR fell for 1000+ steps after each reset)
+        steps_since_reset = (step % d.reset_alpha_every
+                             if d.reset_alpha_every else step)
+        settled = steps_since_reset > len(cameras) + d.refine_every
+        if (in_window or post_window) and settled \
+                and step % d.refine_every == 0:
             alive_before = np.asarray(dstate.alive)  # refine() donates
             scene, dstate, stats = refine(
                 scene, dstate, keys[-1], d,
