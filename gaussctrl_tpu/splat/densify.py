@@ -33,12 +33,15 @@ from gaussctrl_tpu.splat.scene import GaussianScene
 
 @struct.dataclass
 class DensifyConfig:
-    # calibrated on the bear scene: 0.02 selected ~8% of alive gaussians per
-    # refine at full resolution with exact (untruncated) blending — a
-    # densification flood; 0.05 brings the selection to the ~1-2%/refine
-    # band splatfacto exhibits. (The classic 3DGS 2e-4 threshold applies to
-    # a differently-normalized statistic.)
+    # absolute floor on the avg screen-grad criterion (the classic 3DGS
+    # 2e-4 threshold applies to a differently-normalized statistic)
     grad_thresh: float = struct.field(pytree_node=False, default=0.05)
+    # rate control: densify only gaussians at or above this quantile of the
+    # alive avg-grad distribution. A fixed threshold alone selected 5-8% per
+    # refine on real scenes (the tail is fat) — ~half the scene reborn every
+    # 1000 steps, so optimization never settled; splatfacto's effective rate
+    # is 1-2%/refine. 0 disables (pure threshold).
+    densify_quantile: float = struct.field(pytree_node=False, default=0.985)
     densify_size_thresh: float = struct.field(pytree_node=False, default=0.01)
     # splatfacto semantics (cull_alpha_thresh=0.1, reset to 2x): the scene the
     # reference edits is pre-trained by splatfacto, whose shallow opacity
@@ -178,6 +181,10 @@ def refine(scene: GaussianScene, state: DensifyState, key: jax.Array,
     max_scale = jnp.exp(scene.scales).max(-1)
 
     high_grad = (avg_grad > cfg.grad_thresh) & alive
+    if cfg.densify_quantile > 0:
+        qt = jnp.nanquantile(jnp.where(alive, avg_grad, jnp.nan),
+                             cfg.densify_quantile)
+        high_grad = high_grad & (avg_grad >= qt)
     big = max_scale > cfg.densify_size_thresh
     if screen_split:
         big = big | (state.radii_max > cfg.split_screen_size)
