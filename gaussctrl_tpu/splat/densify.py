@@ -33,15 +33,14 @@ from gaussctrl_tpu.splat.scene import GaussianScene
 
 @struct.dataclass
 class DensifyConfig:
-    # absolute floor on the avg screen-grad criterion (the classic 3DGS
-    # 2e-4 threshold applies to a differently-normalized statistic)
-    grad_thresh: float = struct.field(pytree_node=False, default=0.05)
-    # rate control: densify only gaussians at or above this quantile of the
-    # alive avg-grad distribution. A fixed threshold alone selected 5-8% per
-    # refine on real scenes (the tail is fat) — ~half the scene reborn every
-    # 1000 steps, so optimization never settled; splatfacto's effective rate
-    # is 1-2%/refine. 0 disables (pure threshold).
-    densify_quantile: float = struct.field(pytree_node=False, default=0.985)
+    # threshold on the avg pixel-space positional gradient, normalized by
+    # half the max resolution — the EXACT splatfacto statistic (accumulate
+    # differentiates wrt a zero screen-shift), so splatfacto's classic
+    # 0.0002 transfers directly
+    grad_thresh: float = struct.field(pytree_node=False, default=0.0002)
+    # optional rate control: additionally require ≥ this quantile of the
+    # alive avg-grad distribution (0 = pure threshold, splatfacto behavior)
+    densify_quantile: float = struct.field(pytree_node=False, default=0.0)
     densify_size_thresh: float = struct.field(pytree_node=False, default=0.01)
     # splatfacto semantics (cull_alpha_thresh=0.1, reset to 2x): the scene the
     # reference edits is pre-trained by splatfacto, whose shallow opacity
@@ -131,25 +130,22 @@ def grow_capacity(scene: GaussianScene, state: DensifyState, opt_state,
     return scene, state, opt_state
 
 
-def accumulate(state: DensifyState, mean_grads: jnp.ndarray,
-               depths: jnp.ndarray, fx, width: int,
-               radii: jnp.ndarray | None = None,
-               height: int | None = None) -> DensifyState:
+def accumulate(state: DensifyState, xys_grads: jnp.ndarray,
+               visible: jnp.ndarray, width: int, height: int,
+               radii: jnp.ndarray | None = None) -> DensifyState:
     """Track the screen-space gradient criterion after a train step.
 
-    mean_grads [N,3] world-space; projected to an xys-grad scale via fx/z and
-    normalized by half-resolution as splatfacto does. `radii` (screen px)
-    feeds the max-2D-size statistic for the screen-size split/cull criteria.
+    xys_grads [N,2] are the EXACT pixel-space gradients of the projected
+    centers (differentiate the loss wrt a zero screen-shift — see
+    render_rgbd's xys_shift); normalized by half the max resolution exactly
+    as splatfacto does, so the classic densify_grad_thresh=0.0002 transfers.
+    `radii` (screen px) feeds the max-2D-size statistic for the screen-size
+    split/cull criteria.
     """
-    # world grad -> pixel grad: dL/dpix ≈ dL/dworld · z/fx, then the
-    # splatfacto half-resolution normalization
-    g = jnp.linalg.norm(mean_grads, axis=-1)
-    g = g * depths / jnp.maximum(fx, 1e-6) * (0.5 * width)
-    visible = depths > 0
+    g = jnp.linalg.norm(xys_grads, axis=-1) * (0.5 * max(width, height))
     radii_max = state.radii_max
     if radii is not None:
-        res = float(max(width, height if height is not None else width))
-        radii_max = jnp.maximum(radii_max, radii / res)
+        radii_max = jnp.maximum(radii_max, radii / max(width, height))
     return state.replace(
         grad_accum=state.grad_accum + jnp.where(visible, g, 0.0),
         grad_count=state.grad_count + visible.astype(jnp.float32),

@@ -119,20 +119,22 @@ def pretrain_step(
     background = jax.random.uniform(key, (3,))
     optimizer = make_optimizer(train_cfg)
 
-    def loss_fn(s):
+    def loss_fn(s, xys_shift):
         out = render_rgbd(s, c2w, fx, fy, cx, cy, width, height, background,
-                          sh_degree, raster_cfg)
+                          sh_degree, raster_cfg, xys_shift=xys_shift)
         return splat_loss(out["rgb"], gt_image, train_cfg.ssim_lambda)
 
-    (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(scene)
-    # visibility + depth of every gaussian in this view, for the grad stats
+    shift0 = jnp.zeros((scene.num_gaussians, 2))
+    (loss, metrics), (grads, g_xys) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1), has_aux=True)(scene, shift0)
+    # visibility of every gaussian in this view, for the grad stats; g_xys is
+    # the EXACT pixel-space positional gradient (splatfacto's criterion)
     proj = project_gaussians(scene.means, jnp.exp(scene.scales), scene.quats,
                              view_matrix(c2w), fx, fy, cx, cy, width, height,
                              opacities=jax.lax.stop_gradient(
                                  jax.nn.sigmoid(scene.opacities[:, 0])))
-    vis_depth = jnp.where(proj.radii > 0, proj.depths, 0.0)
-    dstate = accumulate(dstate, grads.means, vis_depth, fx, width,
-                        radii=proj.radii, height=height)
+    dstate = accumulate(dstate, g_xys, proj.radii > 0, width, height,
+                        radii=proj.radii)
 
     updates, opt_state = optimizer.update(grads, opt_state, scene)
     scene = optax.apply_updates(scene, updates)

@@ -32,13 +32,17 @@ def render_rgbd(
     sh_degree: int | None = None,
     cfg: RasterConfig = RasterConfig(),
     return_stats: bool = False,
+    xys_shift: jnp.ndarray | None = None,
 ):
     """Render one view. Returns dict(rgb [H,W,3], depth [H,W,1], accumulation [H,W,1]).
 
     `sh_degree` is the *active* degree (progressive schedule handled by the
     caller as in gc_model.py:165); None ⇒ the scene's full degree. With
     `return_stats` the dict gains "stats" (rasterizer occupancy counters,
-    see rasterize)."""
+    see rasterize). `xys_shift` [N,2] (zeros) is added to the projected
+    centers — differentiating wrt it yields the EXACT pixel-space positional
+    gradient (splatfacto's densification statistic) without re-deriving the
+    projection chain."""
     if sh_degree is None:
         sh_degree = scene.sh_degree
     viewmat = view_matrix(c2w)
@@ -62,8 +66,9 @@ def render_rgbd(
     # fused channels: [r, g, b, depth-premultiplied]
     chans = jnp.concatenate([rgbs, proj.depths[:, None]], axis=-1)
     bg4 = jnp.concatenate([background, jnp.zeros((1,), background.dtype)])
+    xys = proj.xys if xys_shift is None else proj.xys + xys_shift
     out = rasterize(
-        proj.xys, proj.depths, proj.radii, proj.conics,
+        xys, proj.depths, proj.radii, proj.conics,
         chans, opac, bg4, height, width, cfg, return_stats=return_stats,
     )
     img, alpha = out[0], out[1]
