@@ -171,10 +171,11 @@ def load_checkpoint_sharded(path, like=None, sharding=None):
 
 
 def latest_checkpoint(ckpt_dir) -> Path | None:
-    ckpts = sorted(Path(ckpt_dir).glob("step-*.npz"))
-    if not ckpts:
-        ckpts = sorted(Path(ckpt_dir).glob("step-*.orbax"))
-    return ckpts[-1] if ckpts else None
+    """Highest-step checkpoint across BOTH formats (a stale npz must not
+    shadow a newer orbax dir — their pruning is per-format)."""
+    ckpts = list(Path(ckpt_dir).glob("step-*.npz")) + \
+        list(Path(ckpt_dir).glob("step-*.orbax"))
+    return max(ckpts, key=checkpoint_step) if ckpts else None
 
 
 def checkpoint_step(path) -> int:

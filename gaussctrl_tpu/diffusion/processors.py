@@ -30,6 +30,23 @@ from gaussctrl_tpu.diffusion.nn import (_use_flash, attention,
                                         attention_einsum)
 
 
+def _grouped_ref_attention(q, kg, vg, r, heads, flash_fn=None):
+    """Σ_i attn(q, k_ref_i, v_ref_i) with the view axis folded into the
+    query length — one flash call per ref (K/V fetched once per CFG group).
+    q [B,T,C]; kg/vg [G,F,T,C]. Separated out so CPU tests can drive it with
+    flash interpret mode against the einsum reference."""
+    if flash_fn is None:
+        from gaussctrl_tpu.ops.flash_attention import flash_attention
+        flash_fn = flash_attention
+    b, t, c = q.shape
+    g, f = kg.shape[0], kg.shape[1]
+    qg = q.reshape(g, f * t, c)
+    acc = 0.0
+    for i in range(r):
+        acc = acc + flash_fn(qg, kg[:, i], vg[:, i], heads)
+    return acc.reshape(b, t, c)
+
+
 @dataclasses.dataclass(frozen=True)
 class CrossViewAttnProcessor:
     num_refs: int = 4
@@ -58,21 +75,17 @@ class CrossViewAttnProcessor:
 
         kg = k.reshape(g, f, t, c)
         vg = v.reshape(g, f, t, c)
-        if jax.default_backend() == "tpu" and 256 <= t <= 2048 \
-                and c // heads <= 128:
+        # _use_flash carries the GAUSSCTRL_FLASH force/disable switch and the
+        # measured routing rule (flash wins at 256..2048 tokens; einsum wins
+        # at 4096 where head_dim 40 limits the MXU contraction)
+        if _use_flash(f * t, t, c // heads):
             # Grouped ref attention: every view in a CFG group attends the
             # SAME ref K/V, so fold the view axis into the query length and
             # make one flash call per ref — the ref K/V block is fetched once
             # per (group, head) instead of once per view, and no [B,h,T,T]
             # scores ever hit HBM. Measured 1.8x over broadcast-einsum at the
-            # 1024-token level (B=14, v5e). At 4096 tokens einsum still wins
-            # (head_dim 40 — see _use_flash), hence the t cap.
-            from gaussctrl_tpu.ops.flash_attention import flash_attention
-            qg = q.reshape(g, f * t, c)
-            acc = 0.0
-            for i in range(r):
-                acc = acc + flash_attention(qg, kg[:, i], vg[:, i], heads)
-            ref_c = acc.reshape(b, t, c)
+            # 1024-token level (B=14, v5e).
+            ref_c = _grouped_ref_attention(q, kg, vg, r, heads)
         else:
             # broadcast ref K/V to every view in the group (XLA einsum path)
             ref_c = 0.0

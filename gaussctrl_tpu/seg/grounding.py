@@ -153,14 +153,18 @@ class LangSAM:
             return (np.zeros((0, h, w), np.float32), boxes, phrases, logits)
         size = self.sam.cfg.img_size
         k = len(boxes)
+        # pad the box batch to a power of two: k varies per image/prompt and
+        # each distinct k would otherwise recompile the jitted decoder
+        kp = 1 << (k - 1).bit_length()
         im = jax.image.resize(jnp.asarray(image)[None], (1, size, size, 3),
                               "bilinear")
         emb = self._encode(im)
-        emb = jnp.broadcast_to(emb, (k,) + emb.shape[1:])
+        emb = jnp.broadcast_to(emb, (kp,) + emb.shape[1:])
         scale = np.array([size / w, size / h, size / w, size / h], np.float32)
-        mlogits, _ = self._predict(emb, jnp.asarray(
-            np.clip(boxes, 0, None) * scale))
-        masks = (mlogits > 0).astype(np.float32)
+        bpad = np.zeros((kp, 4), np.float32)
+        bpad[:k] = np.clip(boxes, 0, None) * scale
+        mlogits, _ = self._predict(emb, jnp.asarray(bpad))
+        masks = (mlogits[:k] > 0).astype(np.float32)
         masks = jax.image.resize(masks[..., None], (k, h, w, 1), "nearest")
         return np.asarray(masks)[..., 0], boxes, phrases, logits
 

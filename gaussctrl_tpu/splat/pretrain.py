@@ -207,7 +207,10 @@ def pretrain(
         steps_since_reset = (step % d.reset_alpha_every
                              if d.reset_alpha_every else step)
         settled = steps_since_reset > len(cameras) + d.refine_every
-        if (in_window or post_window) and settled \
+        # resets only fire in-window, so the settling pause applies only
+        # there; the post-window cull-only passes run unconditionally
+        # (splatfacto's continue_cull_post_densification has no gate)
+        if ((in_window and settled) or post_window) \
                 and step % d.refine_every == 0:
             alive_before = np.asarray(dstate.alive)  # refine() donates
             scene, dstate, stats = refine(

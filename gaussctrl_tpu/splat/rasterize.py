@@ -521,11 +521,21 @@ def _reduce_by_gaussian(inst, gi, live, n, w_small, w_large, cap_many):
 
 
 def _blend_primal(n_tiles_x, n_tiles_y, cfg, binned, xys, conics, colors,
-                  opacities, background):
+                  opacities, background, differentiable=False):
     impl = cfg.blend_impl
     if impl == "auto":
         impl = "xla"
     if impl == "pallas" and (cfg.tile_size * cfg.tile_size) % 128 == 0:
+        if differentiable:
+            # the Pallas forward truncates each tile at tile_capacity while
+            # the manual VJP replays the full segmented list — pairing them
+            # would return gradients inconsistent with the rendered image,
+            # so gradient-carrying calls always use the segmented XLA blend
+            raise ValueError(
+                "blend_impl='pallas' is forward/inference-only (it truncates "
+                "tile lists at tile_capacity; the manual backward is exact "
+                "over the full list). Use blend_impl='xla' when "
+                "differentiating.")
         from gaussctrl_tpu.ops.tile_blend import blend_tiles_pallas
         return blend_tiles_pallas(
             binned.gauss_idx, binned.starts, binned.ends, n_tiles_x,
@@ -544,8 +554,10 @@ def _blend_tiles_cv(n_tiles_x, n_tiles_y, cfg, binned, xys, conics, colors,
 
 def _blend_cv_fwd(n_tiles_x, n_tiles_y, cfg, binned, xys, conics, colors,
                   opacities, background):
+    # fwd runs only when something differentiates through the blend —
+    # require the VJP-consistent (segmented XLA) primal
     out = _blend_primal(n_tiles_x, n_tiles_y, cfg, binned, xys, conics,
-                        colors, opacities, background)
+                        colors, opacities, background, differentiable=True)
     return out, (binned, xys, conics, colors, opacities, background)
 
 

@@ -155,6 +155,36 @@ def test_crossview_pure_ref_ignores_own_kv():
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-6)
 
 
+def test_grouped_ref_attention_matches_einsum():
+    """The TPU grouped-flash ref branch (view axis folded into query length,
+    one flash call per ref) must equal the broadcast-einsum reference —
+    driven on CPU via the kernel's interpret mode."""
+    import functools
+
+    from gaussctrl_tpu.diffusion.nn import attention_einsum
+    from gaussctrl_tpu.diffusion.processors import _grouped_ref_attention
+    from gaussctrl_tpu.ops.flash_attention import flash_attention
+
+    g, f, t, c, heads, r = 2, 3, 64, 32, 2, 2
+    b = g * f
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (b, t, c))
+    k = jax.random.normal(ks[1], (b, t, c))
+    v = jax.random.normal(ks[2], (b, t, c))
+    kg = k.reshape(g, f, t, c)
+    vg = v.reshape(g, f, t, c)
+    got = _grouped_ref_attention(
+        q, kg, vg, r, heads,
+        flash_fn=functools.partial(flash_attention, interpret=True))
+    ref = 0.0
+    for i in range(r):
+        kr = jnp.broadcast_to(kg[:, i:i + 1], (g, f, t, c)).reshape(b, t, c)
+        vr = jnp.broadcast_to(vg[:, i:i + 1], (g, f, t, c)).reshape(b, t, c)
+        ref = ref + attention_einsum(q, kr, vr, heads)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
 def test_easyinv_blend_only_at_high_t(tiny):
     """rho=0 is the exact reference path; rho>0 changes only the high-noise
     iterates (t >= easyinv_t_min), keeping shapes finite."""
