@@ -63,7 +63,8 @@ def main(argv=None):
         parsed.points_rgb if parsed.points_rgb is not None
         else np.full_like(parsed.points_xyz, 0.5),
         cfg, sh_degree=args.sh_degree, seed=args.seed,
-        log_fn=lambda s, m: writer.write(s, m))
+        log_fn=lambda s, m: writer.write(s, m),
+        ckpt_fn=lambda s, sc: save_checkpoint(out_dir / "ckpts", s, sc))
     print(f"[splat-train] done in {time.time() - t0:.0f}s — "
           f"{scene.num_gaussians} gaussians", flush=True)
     path = save_checkpoint(out_dir / "ckpts", cfg.num_steps, scene)

@@ -40,6 +40,7 @@ class PretrainConfig:
     num_steps: int = 30000
     capacity_mult: float = 8.0      # gaussian buffer = mult × seed points
     eval_every: int = 1000          # full-res PSNR on 4 fixed views (0 = off)
+    ckpt_every: int = 0             # mid-run checkpoints via ckpt_fn (0 = off)
     sh_degree_interval: int = 1000
     # splatfacto resolution schedule: train at 1/2^num_downscales resolution,
     # halving the downscale every resolution_schedule steps (0 disables)
@@ -93,7 +94,9 @@ def _eval_psnr(scene, cameras, images, sh_degree, raster_cfg):
         vals.append(-10.0 * jnp.log10(jnp.maximum(mse, 1e-10)))
         isect_frac = max(isect_frac, float(out["stats"]["n_isect"])
                          / float(out["stats"]["isect_budget"]))
+        alphas = float(out["accumulation"].mean())
     return {"eval_psnr": float(jnp.stack(vals).mean()),
+            "eval_alpha": round(alphas, 3),
             "isect_frac": round(isect_frac, 3)}
 
 
@@ -151,8 +154,10 @@ def pretrain(
     raster_cfg: RasterConfig = RasterConfig(),
     seed: int = 0,
     log_fn=None,
+    ckpt_fn=None,
 ):
-    """Full pre-training loop. Returns (scene [alive only], final metrics)."""
+    """Full pre-training loop. Returns (scene [alive only], final metrics).
+    `ckpt_fn(step, scene)` fires every cfg.ckpt_every steps when set."""
     import optax
 
     scene = from_points(points_xyz, points_rgb, sh_degree)
@@ -244,6 +249,9 @@ def pretrain(
         if log_fn and cfg.eval_every and step % cfg.eval_every == 0:
             log_fn(step, _eval_psnr(scene, cameras, pyramid[1], sh_degree,
                                     raster_cfg))
+        if ckpt_fn and cfg.ckpt_every and step and step % cfg.ckpt_every == 0:
+            alive_np = np.nonzero(np.asarray(dstate.alive))[0]
+            ckpt_fn(step, jax.tree_util.tree_map(lambda x: x[alive_np], scene))
 
     if log_fn and cfg.eval_every:
         log_fn(cfg.num_steps, _eval_psnr(scene, cameras, pyramid[1],
