@@ -49,7 +49,9 @@ def _resample_strip(img: np.ndarray, alphas: np.ndarray, phis: np.ndarray,
                     fx: float, fy: float, cx: float, cy: float) -> np.ndarray:
     """Bilinear pull of pano pixels (azimuth α × pitch φ) from a strip render."""
     u = fx * np.tan(alphas)[None, :] + cx                       # [1, Wp]
-    v = fy * (np.tan(phis)[:, None] / np.cos(alphas)[None, :]) + cy
+    # view_matrix flips the camera to y-down, so an UPWARD pitch (φ > 0)
+    # projects ABOVE the principal point: v = cy − fy·tan(φ)/cos(α)
+    v = cy - fy * (np.tan(phis)[:, None] / np.cos(alphas)[None, :])
     u = np.clip(u, 0.0, img.shape[1] - 1.001)
     v = np.clip(np.broadcast_to(v, (phis.size, alphas.size)),
                 0.0, img.shape[0] - 1.001)

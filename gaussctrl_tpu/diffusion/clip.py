@@ -24,9 +24,12 @@ from flax import linen as nn
 
 from gaussctrl_tpu.diffusion.config import CLIPTextConfig
 
-# Prompt augmentation used by the reference (gc_pipeline.py:104-107).
+# Prompt augmentation used by the reference (gc_pipeline.py:104-107) —
+# byte-exact, all 10 negative clauses.
 POSITIVE_SUFFIX = ", best quality, extremely detailed"
-NEGATIVE_PROMPT = "longbody, lowres, bad anatomy, bad hands, missing fingers"
+NEGATIVE_PROMPT = ("longbody, lowres, bad anatomy, bad hands, missing fingers,"
+                   " extra digit, fewer digits, cropped, worst quality,"
+                   " low quality")
 
 
 def quick_gelu(x):

@@ -83,10 +83,17 @@ def depth_to_disparity(depth: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
 
 
 def select_ref_views(num_views: int, ref_view_num: int, seed: int = 13789) -> List[int]:
-    """One random view per contiguous subset (gc_pipeline.py:109-114)."""
+    """One random view per contiguous subset — reference-exact picks
+    (gc_pipeline.py:110-114: floor-div anchors, seeded inclusive `randint`;
+    e.g. 40 views → [4, 11, 29, 31]). The reference's randint upper bound is
+    `anchors[idx+1]` itself, which for the last subset is `num_views` — an
+    out-of-range view the reference would crash on; we clamp to the last
+    valid index (same draws otherwise)."""
     rng = random.Random(seed)
-    bounds = np.linspace(0, num_views, ref_view_num + 1).astype(int)
-    return [rng.randrange(lo, hi) for lo, hi in zip(bounds[:-1], bounds[1:])]
+    anchors = [(num_views * i) // ref_view_num
+               for i in range(ref_view_num)] + [num_views]
+    return [min(rng.randint(lo, hi), num_views - 1)
+            for lo, hi in zip(anchors[:-1], anchors[1:])]
 
 
 def _pad_to(x: jnp.ndarray, n: int) -> jnp.ndarray:

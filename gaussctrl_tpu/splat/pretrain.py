@@ -84,6 +84,7 @@ def _eval_psnr(scene, cameras, images, sh_degree, raster_cfg):
     v_idx = [int(i * len(cameras) / 4) for i in range(4)]
     h, w = int(cameras.height), int(cameras.width)
     vals = []
+    alphas = []
     isect_frac = 0.0
     for v in v_idx:
         out = render_rgbd(scene, cameras.c2w[v], cameras.fx[v], cameras.fy[v],
@@ -94,9 +95,9 @@ def _eval_psnr(scene, cameras, images, sh_degree, raster_cfg):
         vals.append(-10.0 * jnp.log10(jnp.maximum(mse, 1e-10)))
         isect_frac = max(isect_frac, float(out["stats"]["n_isect"])
                          / float(out["stats"]["isect_budget"]))
-        alphas = float(out["accumulation"].mean())
+        alphas.append(float(out["accumulation"].mean()))
     return {"eval_psnr": float(jnp.stack(vals).mean()),
-            "eval_alpha": round(alphas, 3),
+            "eval_alpha": round(float(np.mean(alphas)), 3),
             "isect_frac": round(isect_frac, 3)}
 
 
@@ -141,7 +142,8 @@ def pretrain_step(
 
     updates, opt_state = optimizer.update(grads, opt_state, scene)
     scene = optax.apply_updates(scene, updates)
-    return scene, opt_state, dstate, metrics
+    from gaussctrl_tpu.splat.trainer import _renorm_quats
+    return _renorm_quats(scene), opt_state, dstate, metrics
 
 
 def pretrain(
@@ -218,6 +220,20 @@ def pretrain(
         if ((in_window and settled) or post_window) \
                 and step % d.refine_every == 0:
             alive_before = np.asarray(dstate.alive)  # refine() donates
+            if log_fn:
+                # densify-statistic distribution: the primary calibration
+                # signal (a healthy run selects a few % per refine; medians
+                # above grad_thresh mean the statistic is mis-scaled)
+                avg = np.asarray(dstate.grad_accum) / np.maximum(
+                    np.asarray(dstate.grad_count), 1.0)
+                av = avg[alive_before]
+                if av.size:
+                    log_fn(step, {
+                        "grad_p50": float(np.quantile(av, 0.5)),
+                        "grad_p90": float(np.quantile(av, 0.9)),
+                        "grad_p98": float(np.quantile(av, 0.98)),
+                        "grad_frac_above": float((av > d.grad_thresh).mean()),
+                    })
             scene, dstate, stats = refine(
                 scene, dstate, keys[-1], d,
                 screen_split=step < d.stop_screen_size_at,
@@ -245,7 +261,22 @@ def pretrain(
             opt_state = _reset_label_moments(opt_state, "opacities", optimizer,
                                              scene)
         if log_fn and step % 200 == 0:
-            log_fn(step, {k: float(x) for k, x in metrics.items()})
+            m = {k: float(x) for k, x in metrics.items()}
+            log_fn(step, m)
+            # divergence sentinel (VERDICT r1: a run with logged SSIM -2.66
+            # burned 3h before a human noticed) — fail fast, loudly, and
+            # drop a post-mortem checkpoint of the offending state
+            bad = (not np.isfinite(m.get("loss", 0.0))
+                   or not -1.0 - 1e-3 <= m.get("ssim", 0.0) <= 1.0 + 1e-3)
+            if bad:
+                if ckpt_fn:
+                    alive_np = np.nonzero(np.asarray(dstate.alive))[0]
+                    ckpt_fn(step, jax.tree_util.tree_map(
+                        lambda x: x[alive_np], scene))
+                raise FloatingPointError(
+                    f"pretrain diverged at step {step} (view {v}): {m} — "
+                    "SSIM outside [-1,1] / non-finite loss means renders "
+                    "left [0,1]; post-mortem ckpt written when ckpt_fn set")
         if log_fn and cfg.eval_every and step % cfg.eval_every == 0:
             log_fn(step, _eval_psnr(scene, cameras, pyramid[1], sh_degree,
                                     raster_cfg))

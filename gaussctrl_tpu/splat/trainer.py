@@ -102,12 +102,15 @@ def apply_camera_opt(c2w: jnp.ndarray, delta: jnp.ndarray) -> jnp.ndarray:
     """Compose an SO3xR3 pose correction with a [3, 4] camera-to-world.
 
     delta = [t (3), phi (3)] as in nerfstudio's SO3xR3 optimizer (the
-    camera_opt group the reference configures at gc_config.py:84-86):
-    c2w' = [exp(phi) | t] ∘ c2w.
+    camera_opt group the reference configures at gc_config.py:84-86).
+    Matches nerfstudio's composition: the correction right-multiplies in the
+    LOCAL camera frame (CameraOptimizer.apply_to_camera does
+    `c2w @ [exp(phi) | t]`), so learned deltas are parity-comparable:
+    c2w' = [R_c2w·exp(phi) | R_c2w·t + t_c2w].
     """
     R = exp_so3(delta[3:])
     return jnp.concatenate(
-        [R @ c2w[:, :3], R @ c2w[:, 3:4] + delta[:3, None]], axis=1)
+        [c2w[:, :3] @ R, c2w[:, :3] @ delta[:3, None] + c2w[:, 3:4]], axis=1)
 
 
 def make_camera_optimizer(cfg: TrainConfig = TrainConfig()):
@@ -149,7 +152,20 @@ def train_step(
     (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(scene)
     updates, opt_state = optimizer.update(grads, opt_state, scene)
     scene = optax.apply_updates(scene, updates)
-    return scene, opt_state, metrics
+    return _renorm_quats(scene), opt_state, metrics
+
+
+def _renorm_quats(scene: GaussianScene) -> GaussianScene:
+    """Re-project quats onto the unit sphere after the Adam step.
+
+    Rendering only ever sees q/|q|, so this is a function-space no-op — but
+    Adam's per-coordinate steps walk raw quats along CHORDS of the sphere
+    (a large orientation change passes inside it), systematically shrinking
+    |q| (measured: min |q| 1.0 → 0.14 over 2k bear steps). Near zero norm
+    the normalization Jacobian ~1/|q| amplifies gradients unboundedly and
+    destabilizes training; renormalizing every step pins the gauge."""
+    n = jnp.linalg.norm(scene.quats, axis=-1, keepdims=True)
+    return scene.replace(quats=scene.quats / jnp.maximum(n, 1e-8))
 
 
 @partial(jax.jit, static_argnames=("width", "height", "sh_degree", "raster_cfg",
@@ -196,7 +212,7 @@ def train_step_camopt(
     cam_updates, cam_opt_state = cam_optimizer.update(g_cam, cam_opt_state,
                                                       cam_deltas)
     cam_deltas = optax.apply_updates(cam_deltas, cam_updates)
-    return scene, opt_state, cam_deltas, cam_opt_state, metrics
+    return _renorm_quats(scene), opt_state, cam_deltas, cam_opt_state, metrics
 
 
 def init_optimizer_state(scene: GaussianScene, cfg: TrainConfig = TrainConfig()):

@@ -54,9 +54,19 @@ def test_depth_to_disparity_per_view_normalized():
 def test_select_ref_views_one_per_subset():
     refs = select_ref_views(40, 4, seed=13789)
     assert len(refs) == 4
-    for k, r in enumerate(refs):
-        assert 10 * k <= r < 10 * (k + 1)
+    # reference-exact draws (gc_pipeline.py:110-114: seeded inclusive randint
+    # over floor-div anchors) — random.seed(13789) on CPython gives these
+    assert refs == [4, 11, 29, 31]
     assert refs == select_ref_views(40, 4, seed=13789)  # deterministic
+
+
+def test_prompt_constants_match_reference():
+    """Byte-exact parity with gc_pipeline.py:104-107."""
+    from gaussctrl_tpu.diffusion.clip import NEGATIVE_PROMPT, POSITIVE_SUFFIX
+    assert POSITIVE_SUFFIX == ", best quality, extremely detailed"
+    assert NEGATIVE_PROMPT == (
+        "longbody, lowres, bad anatomy, bad hands, missing fingers, extra "
+        "digit, fewer digits, cropped, worst quality, low quality")
 
 
 @pytest.mark.slow

@@ -81,3 +81,16 @@ def test_vr180_layout_and_field():
     behind = _blob_scene([[0.0, 0.0, 2.0]], RED)
     frame = render_vr180(behind, IDENTITY, W, H, (0, 0, 0), strips=8)
     assert frame.max() < 0.05
+
+
+@pytest.mark.slow
+def test_pano_pitch_above_camera_lands_in_top_half():
+    """An above-camera blob must land in the TOP half of the panorama (the
+    y-down view convention flips the sign of the pitch term in the
+    equirect resample — a regression here vertically mirrors all panos)."""
+    scene = _blob_scene([[0.0, 1.5, -2.0]], RED)   # up and ahead
+    W, H = 128, 64
+    pano = render_pano(scene, IDENTITY, W, H, (0.0, 0.0, 0.0), strips=16)
+    ys, xs = np.nonzero(pano[..., 0] > 0.3)
+    assert ys.size > 0
+    assert ys.mean() < H / 2 - 2, ys.mean()
