@@ -55,11 +55,10 @@ T_EPS = 1e-4
 @struct.dataclass
 class RasterConfig:
     tile_size: int = struct.field(pytree_node=False, default=16)
-    # blend primal path: "xla" (default — the capacity-vectorized blend) or
-    # "pallas" (ops/tile_blend.py sequential early-exit kernel; measured
-    # slower on dense scenes where tiles never saturate, so opt-in until its
-    # chunk-vectorized revision lands). Backward is the manual custom VJP
-    # either way.
+    # blend primal path: "xla" (the capacity-vectorized segmented blend) or
+    # "pallas" (ops/splat_blend.py — exact fwd+bwd kernel with VMEM-resident
+    # transmittance; requires tile_size 16). Both compute the same function;
+    # equivalence pinned by tests/test_splat_blend.py.
     blend_impl: str = struct.field(pytree_node=False, default="xla")
     # static per-gaussian tile window for the LARGE class (clamps giant
     # gaussians' footprints; the window is centered on the gaussian when
@@ -522,25 +521,6 @@ def _reduce_by_gaussian(inst, gi, live, n, w_small, w_large, cap_many):
 
 def _blend_primal(n_tiles_x, n_tiles_y, cfg, binned, xys, conics, colors,
                   opacities, background, differentiable=False):
-    impl = cfg.blend_impl
-    if impl == "auto":
-        impl = "xla"
-    if impl == "pallas" and (cfg.tile_size * cfg.tile_size) % 128 == 0:
-        if differentiable:
-            # the Pallas forward truncates each tile at tile_capacity while
-            # the manual VJP replays the full segmented list — pairing them
-            # would return gradients inconsistent with the rendered image,
-            # so gradient-carrying calls always use the segmented XLA blend
-            raise ValueError(
-                "blend_impl='pallas' is forward/inference-only (it truncates "
-                "tile lists at tile_capacity; the manual backward is exact "
-                "over the full list). Use blend_impl='xla' when "
-                "differentiating.")
-        from gaussctrl_tpu.ops.tile_blend import blend_tiles_pallas
-        return blend_tiles_pallas(
-            binned.gauss_idx, binned.starts, binned.ends, n_tiles_x,
-            xys, conics, colors, opacities, background,
-            cfg.tile_capacity, cfg.tile_size)
     return _blend_tiles(binned, xys, conics, colors, opacities, background,
                         n_tiles_x, n_tiles_y, cfg)
 
@@ -626,10 +606,16 @@ def rasterize(
     radii = jnp.where(
         jax.lax.stop_gradient(opacities) >= ALPHA_THRESH, radii, 0)
     binned = _bin_and_sort(xys, depths, radii, n_tiles_x, n_tiles_y, cfg)
-    tiles, tile_alpha = _blend_tiles_cv(
-        n_tiles_x, n_tiles_y, cfg, binned, xys, conics, colors, opacities,
-        background
-    )
+    if cfg.blend_impl == "pallas" and ts == 16:
+        from gaussctrl_tpu.ops.splat_blend import blend_pallas
+        tiles, tile_alpha = blend_pallas(
+            n_tiles_x, n_tiles_y, binned.gauss_idx.shape[0], 256, binned,
+            xys, conics, colors, opacities, background)
+    else:
+        tiles, tile_alpha = _blend_tiles_cv(
+            n_tiles_x, n_tiles_y, cfg, binned, xys, conics, colors,
+            opacities, background
+        )
     img = _tiles_to_image(tiles, n_tiles_x, n_tiles_y, height, width, ts, colors.shape[-1])
     alpha = _tiles_to_image(tile_alpha, n_tiles_x, n_tiles_y, height, width, ts)
     if return_stats:
