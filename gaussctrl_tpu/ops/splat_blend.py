@@ -21,7 +21,7 @@ held in VMEM instead of HBM round-trips:
             renders them background-only for free.
   compute   [P=ts*ts sublanes, K lanes]: alpha gating exactly as the XLA
             path (sigma >= 0, alpha >= 1/255, clamp 0.999); transmittance
-            via a lane-axis log-space prefix scan (log-shift rolls); running
+            via an exact multiplicative lane-axis prefix scan; running
             T carried in VMEM scratch across a tile's segments and
             checkpointed per segment for the backward.
   backward  single REVERSE sweep per tile (the XLA path needs two forward
@@ -115,28 +115,39 @@ def _plan(starts, ends, budget: int, n_tiles: int, K: int):
     blk = jnp.where(real_seg, blk_ofs[t_of_g] + s_local, B_cap).astype(jnp.int32)
     first = (live_g & (s_local == 0)).astype(jnp.int32)
     islast = (live_g & (s_local == nwork[t_of_g] - 1)).astype(jnp.int32)
+    skip = jnp.logical_not(live_g).astype(jnp.int32)    # dead padding items
 
-    p = jnp.arange(M_al, dtype=jnp.int32)
-    pb = p // K
-    t_of_b = jnp.minimum(_searchsorted_right(blk_cum, pb), n_tiles - 1)
-    src = starts[t_of_b] + (p - blk_ofs[t_of_b] * K)
-    valid = (pb < total_blk) & (src < ends[t_of_b])
-    return dict(tile=tile, blk=blk, first=first, islast=islast,
-                src=jnp.where(valid, src, 0), valid=valid)
+    # per-BLOCK construction (B_cap + 1 searches), expanded to slots by pure
+    # broadcasting — a per-slot binary search over M_al was 283 ms/step
+    b = jnp.arange(B_cap + 1, dtype=jnp.int32)
+    t_of_b = jnp.minimum(_searchsorted_right(blk_cum, b), n_tiles - 1)
+    src_base = starts[t_of_b] + (b - blk_ofs[t_of_b]) * K      # [B_cap+1]
+    k = jnp.arange(K, dtype=jnp.int32)
+    src = (src_base[:, None] + k[None, :])                     # [B_cap+1, K]
+    valid = (b[:, None] < total_blk) & (src < ends[t_of_b][:, None])
+    return dict(tile=tile, blk=blk, first=first, islast=islast, skip=skip,
+                src=jnp.where(valid, src, 0).reshape(-1),
+                valid=valid.reshape(-1))
 
 
 def _pack_instances(plan, gauss_idx, xys, conics, colors, opacities):
-    """([D_PAD, M_al] instance buffer, [M_al] gaussian index per slot)."""
+    """([D_PAD, M_al] instance buffer, [M_al] gaussian index per slot).
+
+    ONE row-gather of a pre-concatenated [N, 16] matrix (64-byte rows),
+    then a single transpose — 11 separate scalar gathers over M_al slots
+    measured 400 ms/step."""
     m = gauss_idx.shape[0]
     gi = gauss_idx[jnp.minimum(plan["src"], m - 1)]
     ch = colors.shape[-1]
-    rows = [xys[gi, 0], xys[gi, 1],
-            conics[gi, 0], conics[gi, 1], conics[gi, 2]]
-    rows += [colors[gi, c] for c in range(ch)]
-    rows += [jnp.where(plan["valid"], opacities[gi], 0.0)]
-    buf = jnp.stack(rows).astype(jnp.float32)
-    pad = D_PAD - buf.shape[0]
-    return jnp.pad(buf, ((0, pad), (0, 0))), gi
+    d = 5 + ch + 1
+    data = jnp.concatenate(
+        [xys.astype(jnp.float32), conics.astype(jnp.float32),
+         colors.astype(jnp.float32),
+         opacities.astype(jnp.float32)[:, None],
+         jnp.zeros((xys.shape[0], D_PAD - d), jnp.float32)], axis=1)
+    inst = data[gi]                                     # [M_al, 16]
+    inst = jnp.where(plan["valid"][:, None], inst, 0.0)
+    return inst.T, gi
 
 
 def _cumsum_lanes(x, K: int):
@@ -199,112 +210,136 @@ def _pix_centers(ts: int, tid, n_tiles_x: int):
 
 
 def _make_fwd_kernel(ts: int, ch: int, K: int, n_tiles_x: int):
-    def kernel(tile_ref, blk_ref, first_ref, inst_ref, out_ref, tfin_ref,
-               ckpt_ref, t_scr):
+    def kernel(tile_ref, blk_ref, first_ref, skip_ref, inst_ref, out_ref,
+               tfin_ref, ckpt_ref, t_scr):
         g = pl.program_id(0)
-        px, py = _pix_centers(ts, tile_ref[g], n_tiles_x)
         first = first_ref[g] == 1
+        dead = skip_ref[g] == 1
 
         @pl.when(first)
         def _():
             t_scr[:] = jnp.ones_like(t_scr)
 
-        t_in = t_scr[:, 0:1]                            # [P, 1]
-        ckpt_ref[0] = t_in                              # T entering segment
+        ckpt_ref[0] = t_scr[:]                          # T entering segment
 
-        inst = inst_ref[:]                              # [D_PAD, K]
-        alpha, _ = _alpha_block(inst, px, py, ch)
-        one_minus = 1.0 - alpha
-        excl = _cumprod_excl_lanes(one_minus, K)        # exclusive prefix
-        t_before = t_in * excl
-        w = alpha * t_before * (t_before > T_EPS).astype(jnp.float32)
+        # early exit, per tile (the CUDA rasterizer's per-pixel termination,
+        # the XLA path's per-chunk while_loop): once every pixel saturates,
+        # the remaining segments contribute exactly 0 (w carries a
+        # t_before > T_EPS factor), so skip their compute outright. The
+        # resident out/tfin blocks keep their last written values. Dead
+        # padding items (static work-list bound) are skipped the same way.
+        @pl.when(jnp.logical_not(dead)
+                 & (first | (jnp.max(t_scr[:]) > T_EPS)))
+        def _():
+            px, py = _pix_centers(ts, tile_ref[g], n_tiles_x)
+            t_in = t_scr[:, 0:1]                        # [P, 1]
+            inst = inst_ref[:]                          # [D_PAD, K]
+            alpha, _ = _alpha_block(inst, px, py, ch)
+            one_minus = 1.0 - alpha
+            excl = _cumprod_excl_lanes(one_minus, K)    # exclusive prefix
+            t_before = t_in * excl
+            w = alpha * t_before * (t_before > T_EPS).astype(jnp.float32)
 
-        acc = jnp.where(first, 0.0, out_ref[0])         # [P, ch]
-        cols = [jnp.sum(w * inst[5 + c:6 + c, :], axis=1, keepdims=True)
-                for c in range(ch)]
-        out_ref[0] = acc + jnp.concatenate(cols, axis=1)
+            acc = jnp.where(first, 0.0, out_ref[0])     # [P, ch]
+            cols = [jnp.sum(w * inst[5 + c:6 + c, :], axis=1, keepdims=True)
+                    for c in range(ch)]
+            out_ref[0] = acc + jnp.concatenate(cols, axis=1)
 
-        t_new = t_in * (excl[:, K - 1:K] * one_minus[:, K - 1:K])
-        t_scr[:] = t_new
-        tfin_ref[0] = t_new
+            t_new = t_in * (excl[:, K - 1:K] * one_minus[:, K - 1:K])
+            t_scr[:] = t_new
+            tfin_ref[0] = t_new
 
     return kernel
 
 
 def _make_bwd_kernel(ts: int, ch: int, K: int, n_tiles_x: int):
-    def kernel(tile_ref, blk_ref, last_ref, gsel_ref, inst_ref, go_ref,
-               gterm_ref, ckpt_ref, ginst_ref, s_scr):
+    def kernel(tile_ref, blk_ref, last_ref, gsel_ref, skip_ref, inst_ref,
+               go_ref, gterm_ref, ckpt_ref, ginst_ref, s_scr):
         g = pl.program_id(0)
-        px, py = _pix_centers(ts, tile_ref[g], n_tiles_x)
+        dead = skip_ref[g] == 1
 
         @pl.when(last_ref[g] == 1)
         def _():
             s_scr[:] = jnp.zeros_like(s_scr)
 
-        inst = inst_ref[:]
-        alpha, aux = _alpha_block(inst, px, py, ch)
-        one_minus = 1.0 - alpha
         t_in = ckpt_ref[0]                               # [P, 1]
-        t_before = t_in * _cumprod_excl_lanes(one_minus, K)   # [P, K]
-        m = (t_before > T_EPS).astype(jnp.float32)
-        w = alpha * t_before * m
+        live = (jnp.max(t_in) > T_EPS) & jnp.logical_not(dead)
 
-        go = go_ref[0]                                   # [P, ch]
-        gc = jnp.zeros_like(alpha)
-        for c in range(ch):
-            gc = gc + go[:, c:c + 1] * inst[5 + c:6 + c, :]
-        q = gc * w
-        qcum = _cumsum_lanes(q, K)                       # inclusive
-        qtot = qcum[:, K - 1:K]                          # [P, 1]
-        s_after = s_scr[:] + (qtot - qcum)               # suffix within block
-        ga = gc * t_before * m - (s_after + gterm_ref[0]) / one_minus
-        gate = aux["cond"] & (aux["araw"] < 0.999)
-        ga = jnp.where(gate, ga, 0.0)
+        @pl.when(live)
+        def _():
+            px, py = _pix_centers(ts, tile_ref[g], n_tiles_x)
+            inst = inst_ref[:]
+            alpha, aux = _alpha_block(inst, px, py, ch)
+            one_minus = 1.0 - alpha
+            t_before = t_in * _cumprod_excl_lanes(one_minus, K)   # [P, K]
+            m = (t_before > T_EPS).astype(jnp.float32)
+            w = alpha * t_before * m
 
-        dx, dy = aux["dx"], aux["dy"]
-        g_sigma = -ga * alpha
-        rows = [
-            jnp.sum(g_sigma * (aux["a"] * dx + aux["b"] * dy), axis=0,
-                    keepdims=True),
-            jnp.sum(g_sigma * (aux["c"] * dy + aux["b"] * dx), axis=0,
-                    keepdims=True),
-            jnp.sum(g_sigma * 0.5 * dx * dx, axis=0, keepdims=True),
-            jnp.sum(g_sigma * dx * dy, axis=0, keepdims=True),
-            jnp.sum(g_sigma * 0.5 * dy * dy, axis=0, keepdims=True),
-        ]
-        rows += [jnp.sum(w * go[:, c:c + 1], axis=0, keepdims=True)
-                 for c in range(ch)]
-        rows.append(jnp.sum(ga * aux["e_sig"], axis=0, keepdims=True))
-        out = jnp.concatenate(rows, axis=0)              # [5+ch+1, K]
-        ginst_ref[:] = jnp.concatenate(
-            [out, jnp.zeros((D_PAD - out.shape[0], K), jnp.float32)], axis=0)
+            go = go_ref[0]                               # [P, ch]
+            gc = jnp.zeros_like(alpha)
+            for c in range(ch):
+                gc = gc + go[:, c:c + 1] * inst[5 + c:6 + c, :]
+            q = gc * w
+            qcum = _cumsum_lanes(q, K)                   # inclusive
+            qtot = qcum[:, K - 1:K]                      # [P, 1]
+            s_after = s_scr[:] + (qtot - qcum)           # suffix within block
+            ga = gc * t_before * m - (s_after + gterm_ref[0]) / one_minus
+            gate = aux["cond"] & (aux["araw"] < 0.999)
+            ga = jnp.where(gate, ga, 0.0)
 
-        s_scr[:] = s_scr[:] + qtot
+            dx, dy = aux["dx"], aux["dy"]
+            g_sigma = -ga * alpha
+            rows = [
+                jnp.sum(g_sigma * (aux["a"] * dx + aux["b"] * dy), axis=0,
+                        keepdims=True),
+                jnp.sum(g_sigma * (aux["c"] * dy + aux["b"] * dx), axis=0,
+                        keepdims=True),
+                jnp.sum(g_sigma * 0.5 * dx * dx, axis=0, keepdims=True),
+                jnp.sum(g_sigma * dx * dy, axis=0, keepdims=True),
+                jnp.sum(g_sigma * 0.5 * dy * dy, axis=0, keepdims=True),
+            ]
+            rows += [jnp.sum(w * go[:, c:c + 1], axis=0, keepdims=True)
+                     for c in range(ch)]
+            rows.append(jnp.sum(ga * aux["e_sig"], axis=0, keepdims=True))
+            out = jnp.concatenate(rows, axis=0)          # [5+ch+1, K]
+            ginst_ref[:] = jnp.concatenate(
+                [out, jnp.zeros((D_PAD - out.shape[0], K), jnp.float32)],
+                axis=0)
+            s_scr[:] = s_scr[:] + qtot
+
+        @pl.when(jnp.logical_not(live) & jnp.logical_not(dead))
+        def _():
+            # saturated segments contribute exactly zero gradient, but the
+            # buffer block must not be left as garbage for the reduce
+            # (dead items' trash block is masked there instead)
+            ginst_ref[:] = jnp.zeros_like(ginst_ref)
 
     return kernel
 
 
 @partial(jax.jit, static_argnames=("n_tiles_x", "n_tiles", "ts", "ch", "K"))
-def _forward_call(tile, blk, first, inst_buf, n_tiles_x: int, n_tiles: int,
-                  ts: int, ch: int, K: int):
+def _forward_call(tile, blk, first, skip, inst_buf, n_tiles_x: int,
+                  n_tiles: int, ts: int, ch: int, K: int):
     P = ts * ts
     G = tile.shape[0]
     kernel = _make_fwd_kernel(ts, ch, K, n_tiles_x)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(G,),
         in_specs=[
-            pl.BlockSpec((D_PAD, K), lambda g, tile, blk, first: (0, blk[g]),
+            pl.BlockSpec((D_PAD, K),
+                         lambda g, tile, blk, first, skip: (0, blk[g]),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, P, ch),
-                         lambda g, tile, blk, first: (tile[g], 0, 0),
+                         lambda g, tile, blk, first, skip: (tile[g], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, P, 1),
-                         lambda g, tile, blk, first: (tile[g], 0, 0),
+                         lambda g, tile, blk, first, skip: (tile[g], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P, 1), lambda g, tile, blk, first: (g, 0, 0),
+            pl.BlockSpec((1, P, 1),
+                         lambda g, tile, blk, first, skip: (g, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[pltpu.VMEM((P, 1), jnp.float32)],
@@ -318,35 +353,39 @@ def _forward_call(tile, blk, first, inst_buf, n_tiles_x: int, n_tiles: int,
             jax.ShapeDtypeStruct((G, P, 1), jnp.float32),
         ],
         interpret=_interpret(),
-    )(tile, blk, first, inst_buf)
+    )(tile, blk, first, skip, inst_buf)
 
 
 @partial(jax.jit, static_argnames=("n_tiles_x", "n_tiles", "ts", "ch", "K"))
-def _backward_call(tile_r, blk_r, last_r, gsel_r, inst_buf, go, gterm, ckpt,
-                   n_tiles_x: int, n_tiles: int, ts: int, ch: int, K: int):
+def _backward_call(tile_r, blk_r, last_r, gsel_r, skip_r, inst_buf, go,
+                   gterm, ckpt, n_tiles_x: int, n_tiles: int, ts: int,
+                   ch: int, K: int):
     P = ts * ts
     G = tile_r.shape[0]
     M_al = inst_buf.shape[1]
     kernel = _make_bwd_kernel(ts, ch, K, n_tiles_x)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(G,),
         in_specs=[
             pl.BlockSpec((D_PAD, K),
-                         lambda g, tile, blk, last, gsel: (0, blk[g]),
+                         lambda g, tile, blk, last, gsel, skip: (0, blk[g]),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, P, ch),
-                         lambda g, tile, blk, last, gsel: (tile[g], 0, 0),
+                         lambda g, tile, blk, last, gsel, skip:
+                         (tile[g], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, P, 1),
-                         lambda g, tile, blk, last, gsel: (tile[g], 0, 0),
+                         lambda g, tile, blk, last, gsel, skip:
+                         (tile[g], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, P, 1),
-                         lambda g, tile, blk, last, gsel: (gsel[g], 0, 0),
+                         lambda g, tile, blk, last, gsel, skip:
+                         (gsel[g], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (D_PAD, K), lambda g, tile, blk, last, gsel: (0, blk[g]),
+            (D_PAD, K), lambda g, tile, blk, last, gsel, skip: (0, blk[g]),
             memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((P, 1), jnp.float32)],
     )
@@ -355,7 +394,7 @@ def _backward_call(tile_r, blk_r, last_r, gsel_r, inst_buf, go, gterm, ckpt,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((D_PAD, M_al), jnp.float32),
         interpret=_interpret(),
-    )(tile_r, blk_r, last_r, gsel_r, inst_buf, go, gterm, ckpt)
+    )(tile_r, blk_r, last_r, gsel_r, skip_r, inst_buf, go, gterm, ckpt)
 
 
 # ---------------------------------------------------------------------------
@@ -384,7 +423,7 @@ def _blend_fwd_impl(n_tiles_x, n_tiles_y, budget, K, binned, xys, conics,
     inst_buf, gi_al = _pack_instances(plan, binned.gauss_idx, xys, conics,
                                       colors, opacities)
     out3, tfin3, ckpt3 = _forward_call(plan["tile"], plan["blk"],
-                                       plan["first"], inst_buf,
+                                       plan["first"], plan["skip"], inst_buf,
                                        n_tiles_x, n_tiles, ts, ch, K)
     tfin = tfin3[:n_tiles, :, 0]                       # [T, P]
     tiles = out3[:n_tiles] + tfin[:, :, None] * background[None, None, :]
@@ -422,8 +461,9 @@ def _blend_bwd(n_tiles_x, n_tiles_y, budget, K, res, ct):
     rev = slice(None, None, -1)
     gsel_r = jnp.arange(plan["tile"].shape[0], dtype=jnp.int32)[rev]
     ginst = _backward_call(plan["tile"][rev], plan["blk"][rev],
-                           plan["islast"][rev], gsel_r, inst_buf, go, gterm,
-                           ckpt3, n_tiles_x, n_tiles, ts, ch, K)
+                           plan["islast"][rev], gsel_r, plan["skip"][rev],
+                           inst_buf, go, gterm, ckpt3, n_tiles_x, n_tiles,
+                           ts, ch, K)
 
     d = 5 + ch + 1
     inst_g = ginst[:d].T                                  # [M_al, D]

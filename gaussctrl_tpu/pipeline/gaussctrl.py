@@ -168,6 +168,16 @@ class GaussCtrlPipeline:
             return x
         return jax.device_put(x, shard_views(self.mesh))
 
+    def _round_up_views(self, n: int) -> int:
+        """Smallest batch >= n divisible by the mesh (1 without a mesh) —
+        callers pad to this so _shard never silently skips a non-divisible
+        view count (a 44-view scene on 8 chips must pad to 48, not quietly
+        run unsharded)."""
+        if self.mesh is None:
+            return n
+        nd = self.mesh.devices.size
+        return -(-n // nd) * nd
+
     def load_artifacts(self, train_data) -> bool:
         """Adopt precomputed edit artifacts from a datamanager's train_data
         (the resume path: the dataparser auto-discovers unedited/ depth_npy/
@@ -211,7 +221,8 @@ class GaussCtrlPipeline:
     def render_reverse(self, log_fn=None):
         cams = self.cameras
         V = len(cams)
-        bs = min(self.config.render_batch, V)
+        # batch rounded UP to the mesh size so _shard never silently skips
+        bs = self._round_up_views(min(self.config.render_batch, V))
         sh = self.scene.sh_degree
 
         render_batch = jax.jit(jax.vmap(
@@ -295,10 +306,13 @@ class GaussCtrlPipeline:
 
         edited_lat = [None] * V
         if cfg.chunk_size <= 0:
-            # all views at once, refs first, view axis sharded over the mesh
+            # all views at once, refs first, view axis sharded over the mesh;
+            # pad (repeating the last view) up to a mesh-divisible batch so
+            # e.g. 44 views on 8 chips shard as 48, not silently unsharded
             order = refs + others
-            z = self._shard(self.z_T[np.asarray(order)])
-            disp = self._shard(self.disparity[np.asarray(order)])
+            order_pad = order + [order[-1]] * (self._round_up_views(V) - V)
+            z = self._shard(self.z_T[np.asarray(order_pad)])
+            disp = self._shard(self.disparity[np.asarray(order_pad)])
             out = run_batch(z, disp, R)
             for pos, i in enumerate(order):
                 edited_lat[i] = out[pos]

@@ -43,9 +43,17 @@ class PretrainConfig:
     ckpt_every: int = 0             # mid-run checkpoints via ckpt_fn (0 = off)
     sh_degree_interval: int = 1000
     # splatfacto resolution schedule: train at 1/2^num_downscales resolution,
-    # halving the downscale every resolution_schedule steps (0 disables)
+    # halving the downscale every resolution_schedule steps (0 disables).
+    # 3000 matches splatfacto's default — full res only from step 6000,
+    # AFTER the early densify chaos settles (ramping at 250 put the
+    # fresh-split scene at full res by step 500 and never converged)
     num_downscales: int = 2
-    resolution_schedule: int = 250
+    resolution_schedule: int = 3000
+    # blend path at FULL resolution ("pallas" = ops/splat_blend.py kernel,
+    # ~20% faster per train step at 134k gaussians and scaling better with
+    # depth); downscaled phases use the XLA blend — at small images the
+    # kernel's aligned-buffer prep dominates
+    fullres_blend: str = "pallas"
     densify: DensifyConfig = DensifyConfig()
     train: TrainConfig = TrainConfig(lr_step_offset=0)
 
@@ -196,11 +204,13 @@ def pretrain(
             f = 2 ** max(cfg.num_downscales - step // cfg.resolution_schedule, 0)
         else:
             f = 1
+        rc = (raster_cfg.replace(blend_impl=cfg.fullres_blend)
+              if f == 1 and cfg.fullres_blend else raster_cfg)
         scene, opt_state, dstate, metrics = pretrain_step(
             scene, opt_state, dstate,
             cameras.c2w[v], cameras.fx[v] / f, cameras.fy[v] / f,
             cameras.cx[v] / f, cameras.cy[v] / f, pyramid[f][v], keys[step],
-            cameras.width // f, cameras.height // f, active_sh, raster_cfg,
+            cameras.width // f, cameras.height // f, active_sh, rc,
             cfg.train)
 
         in_window = d.warmup < step < d.stop_at

@@ -88,14 +88,25 @@ def test_pipeline_end_to_end_chunked_equals_batched():
 
 
 @pytest.mark.slow
-def test_pipeline_sharded_edit_runs():
-    """All-at-once edit with the view axis sharded over the 8-device CPU mesh."""
-    pipe = _setup(V=8, chunk_size=0)
-    pipe.mesh = make_mesh()
+def test_pipeline_sharded_edit_equals_unsharded():
+    """Sharded (8-device CPU mesh) and single-device edits must agree
+    NUMERICALLY, not just run — VERDICT r1 #5. V=5 on 8 devices exercises
+    the non-divisible path (padded to 8 by _round_up_views) on top of the
+    sharding itself."""
+    V = 5
+    pipe = _setup(V=V, chunk_size=0)
     pipe.render_reverse()
     pipe.edit_images()
-    assert pipe.edited.shape == (8, 64, 64, 3)
-    assert np.isfinite(np.asarray(pipe.edited)).all()
+    single = np.asarray(pipe.edited)
+
+    pipe2 = _setup(V=V, chunk_size=0)
+    pipe2.mesh = make_mesh()
+    pipe2.render_reverse()
+    pipe2.edit_images()
+    sharded = np.asarray(pipe2.edited)
+
+    assert sharded.shape == (V, 64, 64, 3)
+    np.testing.assert_allclose(sharded, single, atol=2e-3)
 
 
 @pytest.mark.slow
