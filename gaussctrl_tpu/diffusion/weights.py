@@ -30,24 +30,37 @@ import numpy as np
 
 def load_state_dict(model_dir: str, filename_stem: str = "diffusion_pytorch_model"
                     ) -> Dict[str, np.ndarray]:
-    """Load a flat {torch_key: np.ndarray} from a model directory."""
-    st_path = os.path.join(model_dir, f"{filename_stem}.safetensors")
-    bin_path = os.path.join(model_dir, f"{filename_stem}.bin")
-    if os.path.exists(st_path):
-        from safetensors import safe_open
-        out = {}
-        with safe_open(st_path, framework="np") as f:
-            for k in f.keys():
-                t = f.get_tensor(k)
-                if t.dtype == np.float16:
-                    t = t.astype(np.float32)
-                out[k] = t
-        return out
-    if os.path.exists(bin_path):
-        import torch
-        sd = torch.load(bin_path, map_location="cpu", weights_only=True)
-        return {k: np.asarray(v.float().numpy()) for k, v in sd.items()}
-    raise FileNotFoundError(f"no {filename_stem}.safetensors/.bin in {model_dir}")
+    """Load a flat {torch_key: np.ndarray} from a model directory.
+
+    Tries `{stem}.safetensors` then `{stem}.bin`, falling back to the other
+    standard HF names (`model.*` for transformers-style dirs like
+    text_encoder/, `pytorch_model.bin` for older transformers dumps) —
+    real checkpoints use different names depending on the library version.
+    """
+    stems = [filename_stem]
+    for alt in ("model", "pytorch_model", "diffusion_pytorch_model"):
+        if alt not in stems:
+            stems.append(alt)
+    tried = []
+    for stem in stems:
+        st_path = os.path.join(model_dir, f"{stem}.safetensors")
+        bin_path = os.path.join(model_dir, f"{stem}.bin")
+        tried += [st_path, bin_path]
+        if os.path.exists(st_path):
+            from safetensors import safe_open
+            out = {}
+            with safe_open(st_path, framework="np") as f:
+                for k in f.keys():
+                    t = f.get_tensor(k)
+                    if t.dtype == np.float16:
+                        t = t.astype(np.float32)
+                    out[k] = t
+            return out
+        if os.path.exists(bin_path):
+            import torch
+            sd = torch.load(bin_path, map_location="cpu", weights_only=True)
+            return {k: np.asarray(v.float().numpy()) for k, v in sd.items()}
+    raise FileNotFoundError(f"no state dict in {model_dir} (tried {tried})")
 
 
 def _set(tree: Dict[str, Any], path: str, value: np.ndarray):
