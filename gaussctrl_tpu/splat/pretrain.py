@@ -133,8 +133,16 @@ def pretrain_step(
 
     def loss_fn(s, xys_shift):
         out = render_rgbd(s, c2w, fx, fy, cx, cy, width, height, background,
-                          sh_degree, raster_cfg, xys_shift=xys_shift)
-        return splat_loss(out["rgb"], gt_image, train_cfg.ssim_lambda)
+                          sh_degree, raster_cfg, xys_shift=xys_shift,
+                          return_stats=True)
+        loss, metrics = splat_loss(out["rgb"], gt_image, train_cfg.ssim_lambda)
+        # overflow sentinel: > 1.0 means the binning buffer dropped
+        # intersections THIS step — silent bottom-tile corruption in both
+        # the render and the gradients (lower RasterConfig.isect_divisor)
+        metrics = dict(metrics, isect_frac=jax.lax.stop_gradient(
+            out["stats"]["n_isect"].astype(jnp.float32)
+            / out["stats"]["isect_budget"].astype(jnp.float32)))
+        return loss, metrics
 
     shift0 = jnp.zeros((scene.num_gaussians, 2))
     (loss, metrics), (grads, g_xys) = jax.value_and_grad(
@@ -273,6 +281,8 @@ def pretrain(
         if log_fn and step % 200 == 0:
             m = {k: float(x) for k, x in metrics.items()}
             log_fn(step, m)
+            if m.get("isect_frac", 0.0) > 1.0:
+                log_fn(step, {"WARN_isect_overflow": m["isect_frac"]})
             # divergence sentinel (VERDICT r1: a run with logged SSIM -2.66
             # burned 3h before a human noticed) — fail fast, loudly, and
             # drop a post-mortem checkpoint of the offending state
