@@ -28,8 +28,11 @@ held in VMEM instead of HBM round-trips:
             replays): the suffix S_i = sum_{j>i} (g.c_j) w_j accumulates in
             scratch while T_before is reconstructed from the forward
             checkpoints. Per-instance gradients reduce over pixels
-            (sublanes) into a [16, M_al] buffer; a segmented sort-reduce
-            (rasterize._reduce_by_gaussian) then yields per-gaussian grads.
+            (sublanes) into a [16, M_al] buffer; _reduce_by_slot then turns
+            instance grads into per-gaussian grads with one scatter + one
+            windowed reshape-sum (no re-sort — the candidate-slot identity
+            carried through the bin sort makes the inverse permutation a
+            scatter of arange).
 
 Semantics pinned by tests/test_splat_blend.py: forward and VJP match the XLA
 segmented blend to float tolerance on random scenes.
@@ -397,13 +400,44 @@ def _backward_call(tile_r, blk_r, last_r, gsel_r, skip_r, inst_buf, go,
     )(tile_r, blk_r, last_r, gsel_r, skip_r, inst_buf, go, gterm, ckpt)
 
 
+def _reduce_by_slot(ginst, plan, binned, n: int, k2s: int, k2L: int,
+                    d: int):
+    """Per-gaussian gradient sums WITHOUT re-sorting by gaussian.
+
+    Every instance is a candidate-grid slot (binned.slot_idx): gaussian g's
+    small-class slots are exactly rows g*k2s..g*k2s+k2s-1, the large-class
+    ranks go through binned.lmap. One scatter builds slot -> aligned-slot,
+    one row-gather + reshape-sum collapses windows — the sort-based
+    _reduce_by_gaussian was 319 ms at 3.5M instances, ~75%% of the whole
+    backward."""
+    M_al = ginst.shape[1]
+    budget = binned.slot_idx.shape[0]
+    cap_l = binned.lmap.shape[0]
+    total_slots = n * k2s + cap_l * k2L
+
+    slot_al = binned.slot_idx[jnp.minimum(plan["src"], budget - 1)]   # [M_al]
+    tgt = jnp.where(plan["valid"], slot_al, total_slots)
+    a_of_slot = jnp.full((total_slots,), M_al, jnp.int32).at[tgt].set(
+        jnp.arange(M_al, dtype=jnp.int32), mode="drop")
+
+    rows = jnp.concatenate(
+        [ginst[:d].T, jnp.zeros((1, d), jnp.float32)])                # pad row
+    per_slot = rows[a_of_slot]                                        # [S, d]
+    out = per_slot[: n * k2s].reshape(n, k2s, d).sum(1)
+    if cap_l > 1:
+        lsum = per_slot[n * k2s:].reshape(cap_l, k2L, d).sum(1)
+        out = out.at[jnp.where(binned.lvalid, binned.lmap, n)].add(
+            lsum, mode="drop")
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Differentiable entry point (same contract as rasterize._blend_tiles_cv)
 # ---------------------------------------------------------------------------
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
-def blend_pallas(n_tiles_x, n_tiles_y, budget, K, binned, xys, conics, colors,
-                 opacities, background):
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
+def blend_pallas(n_tiles_x, n_tiles_y, budget, K, k2s, k2L, binned, xys,
+                 conics, colors, opacities, background):
     """Front-to-back alpha blend of the sorted bins — Pallas fwd+bwd.
 
     Returns (tiles [T, ts*ts, ch], tile_alpha [T, ts*ts]) exactly like
@@ -433,14 +467,13 @@ def _blend_fwd_impl(n_tiles_x, n_tiles_y, budget, K, binned, xys, conics,
     return (tiles, alpha), res
 
 
-def _blend_fwd(n_tiles_x, n_tiles_y, budget, K, binned, xys, conics, colors,
-               opacities, background):
+def _blend_fwd(n_tiles_x, n_tiles_y, budget, K, k2s, k2L, binned, xys,
+               conics, colors, opacities, background):
     return _blend_fwd_impl(n_tiles_x, n_tiles_y, budget, K, binned, xys,
                            conics, colors, opacities, background)
 
 
-def _blend_bwd(n_tiles_x, n_tiles_y, budget, K, res, ct):
-    from gaussctrl_tpu.splat.rasterize import _reduce_by_gaussian
+def _blend_bwd(n_tiles_x, n_tiles_y, budget, K, k2s, k2L, res, ct):
     (plan, inst_buf, gi_al, tfin, ckpt3, binned, xys, conics, colors,
      opacities, background) = res
     g_tiles, g_alpha = ct
@@ -466,15 +499,7 @@ def _blend_bwd(n_tiles_x, n_tiles_y, budget, K, res, ct):
                            ts, ch, K)
 
     d = 5 + ch + 1
-    inst_g = ginst[:d].T                                  # [M_al, D]
-    from gaussctrl_tpu.splat.rasterize import RasterConfig
-    cfg = RasterConfig()
-    w_small = min(cfg.small_tiles_x, cfg.max_tiles_x) * \
-        min(cfg.small_tiles_y, cfg.max_tiles_y)
-    w_large = cfg.max_tiles_x * cfg.max_tiles_y
-    cap_many = min(n, max(n // cfg.large_divisor, 64))
-    g = _reduce_by_gaussian(inst_g, gi_al, plan["valid"], n, w_small,
-                            w_large, cap_many)
+    g = _reduce_by_slot(ginst, plan, binned, n, k2s, k2L, d)
     g = g.astype(xys.dtype)
     g_bg = jnp.einsum("tp,tpk->k", tfin, g_tiles.astype(jnp.float32))
     g_binned = jax.tree_util.tree_map(

@@ -92,6 +92,13 @@ class _Binned(NamedTuple):
     starts: jnp.ndarray      # [T]
     ends: jnp.ndarray        # [T]
     n_isect: jnp.ndarray     # [] total intersections emitted
+    # candidate-grid slot per sorted entry (slot // k2_small = gaussian for
+    # the small class; large class goes through lmap). The slot identity is
+    # what lets the Pallas backward invert the sort with one scatter
+    # instead of re-sorting by gaussian (ops/splat_blend._reduce_by_slot).
+    slot_idx: jnp.ndarray    # [CAP]
+    lmap: jnp.ndarray        # [cap_l] large-class rank -> gaussian ([0] if unused)
+    lvalid: jnp.ndarray      # [cap_l] rank occupied
 
 
 _SENTINEL = jnp.uint32(0xFFFFFFFF)
@@ -181,8 +188,12 @@ def _bin_and_sort(xys, depths, radii, n_tiles_x, n_tiles_y, cfg: RasterConfig):
 
     if (ksx, ksy) == (kx, ky):
         keys = _class_keys(sxL, syL, spxL, spyL, dq, kx, ky, n_tiles_x, shift)
-        payload = jnp.broadcast_to(idx[:, None], (n, kx * ky)).reshape(-1)
         n_isect = (spxL * spyL).sum()
+        lmap = jnp.zeros((1,), jnp.int32)
+        lvalid = jnp.zeros((1,), bool)
+
+        def slot_to_gauss(slot):
+            return slot // (kx * ky)
     else:
         cap_l = min(n, max(n // cfg.large_divisor, 64))
         is_large = alive & ((rspx > ksx) | (rspy > ksy))
@@ -202,12 +213,17 @@ def _bin_and_sort(xys, depths, radii, n_tiles_x, n_tiles_y, cfg: RasterConfig):
             jnp.where(lvalid, spxL[lmap], 0), spyL[lmap],
             dq[lmap], kx, ky, n_tiles_x, shift)
         keys = jnp.concatenate([keys_s, keys_l])
-        payload = jnp.concatenate([
-            jnp.broadcast_to(idx[:, None], (n, ksx * ksy)).reshape(-1),
-            jnp.broadcast_to(lmap[:, None], (cap_l, kx * ky)).reshape(-1),
-        ])
         n_isect = jnp.where(eff_large, spxL * spyL, spxS * spyS).sum()
 
+        def slot_to_gauss(slot):
+            small_count = n * ksx * ksy
+            r = jnp.clip((slot - small_count) // (kx * ky), 0, cap_l - 1)
+            return jnp.where(slot < small_count, slot // (ksx * ksy), lmap[r])
+
+    # payload = candidate-grid slot (the gaussian is recoverable as
+    # slot // k2 via slot_to_gauss); carrying the slot lets the Pallas
+    # backward invert the sort with a single scatter
+    payload = jnp.arange(keys.shape[0], dtype=jnp.int32)
     s_keys, s_idx = jax.lax.sort((keys, payload), num_keys=1)
     # real intersections sort to the front (sentinels last): keep a static
     # budget of the buffer so every downstream pass is sized to ~the real
@@ -220,8 +236,9 @@ def _bin_and_sort(xys, depths, radii, n_tiles_x, n_tiles_y, cfg: RasterConfig):
 
     tq = (jnp.arange(n_tiles + 1, dtype=jnp.uint32) << shift)
     bounds = _searchsorted_u32(s_keys, tq)
-    return _Binned(gauss_idx=s_idx, starts=bounds[:-1], ends=bounds[1:],
-                   n_isect=n_isect)
+    return _Binned(gauss_idx=slot_to_gauss(s_idx), starts=bounds[:-1],
+                   ends=bounds[1:], n_isect=n_isect, slot_idx=s_idx,
+                   lmap=lmap, lvalid=lvalid)
 
 
 def _segment_alpha(binned, xys, conics, colors, opacities, start, end,
@@ -608,8 +625,11 @@ def rasterize(
     binned = _bin_and_sort(xys, depths, radii, n_tiles_x, n_tiles_y, cfg)
     if cfg.blend_impl == "pallas" and ts == 16:
         from gaussctrl_tpu.ops.splat_blend import blend_pallas
+        ksx = min(cfg.small_tiles_x, cfg.max_tiles_x)
+        ksy = min(cfg.small_tiles_y, cfg.max_tiles_y)
         tiles, tile_alpha = blend_pallas(
-            n_tiles_x, n_tiles_y, binned.gauss_idx.shape[0], 256, binned,
+            n_tiles_x, n_tiles_y, binned.gauss_idx.shape[0], 256,
+            ksx * ksy, cfg.max_tiles_x * cfg.max_tiles_y, binned,
             xys, conics, colors, opacities, background)
     else:
         tiles, tile_alpha = _blend_tiles_cv(

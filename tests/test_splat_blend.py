@@ -45,7 +45,8 @@ def _both(rng, n=60, H=64, W=128, K=128):
         return _blend_tiles_cv(ntx, nty, cfg, binned, x, c, col, o, b)
 
     def pallas_fn(x, c, col, o, b):
-        return blend_pallas(ntx, nty, budget, K, binned, x, c, col, o, b)
+        return blend_pallas(ntx, nty, budget, K, 16, 256, binned,
+                            x, c, col, o, b)
 
     args = (xys, conics, colors, opac, bg)
     return xla_fn, pallas_fn, args
@@ -100,8 +101,8 @@ def test_empty_and_dense_tiles(rng):
     budget = binned.gauss_idx.shape[0]
     ref_t, ref_a = _blend_tiles_cv(ntx, nty, cfg, binned, xys, conics,
                                    colors, opac, bg)
-    got_t, got_a = blend_pallas(ntx, nty, budget, 128, binned, xys, conics,
-                                colors, opac, bg)
+    got_t, got_a = blend_pallas(ntx, nty, budget, 128, 16, 256, binned,
+                                xys, conics, colors, opac, bg)
     np.testing.assert_allclose(np.asarray(got_t), np.asarray(ref_t),
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(got_a), np.asarray(ref_a),
