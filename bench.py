@@ -7,7 +7,7 @@ GaussCtrl edit at the reference operating point (chunk_size 3, 4 refs,
 20-step `lax.scan`s, not isolated UNet evals (XLA schedules the fused scan
 ~3x faster per step than a single-eval jit):
 
-  t_inv  — one 20-step DDIM inversion scan over a batch of 8 views
+  t_inv  — one 20-step DDIM inversion scan over a batch of 12 views
   t_edit — one 20-step cross-view CFG denoise scan over [4 refs | 3 views]
 
 and derives  views/sec = 1 / (t_inv/8 + t_edit/3)
@@ -74,8 +74,10 @@ def main():
         disp = jnp.zeros((n, s * 8, s * 8, 3), jnp.bfloat16)
         return lat, ctx, disp
 
-    # inversion: 20-step scan, batch of independent views, no CFG
-    b_inv = 8
+    # inversion: 20-step scan, batch of independent views, no CFG.
+    # 12 rides the same step time as 8 on v5e (268 vs 273 ms measured) --
+    # the production render_batch default
+    b_inv = 12
     lat, ctx, disp = batch(b_inv)
     inv = jax.jit(lambda p, l, c, d: invert(models, p, sched, l, c, d, steps))
     t_inv = _timeit(inv, params, lat, ctx, disp)

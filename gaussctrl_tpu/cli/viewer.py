@@ -11,6 +11,9 @@ def main(argv=None):
     p = argparse.ArgumentParser(prog="gaussctrl-viewer")
     p.add_argument("--load-checkpoint", required=True,
                    help="scene checkpoint (.npz or splatfacto .ckpt)")
+    p.add_argument("--data", default=None,
+                   help="scene data dir (enables train-camera markers and "
+                        "exact jump-to-train-view)")
     p.add_argument("--port", type=int, default=7007)
     p.add_argument("--width", type=int, default=512)
     p.add_argument("--height", type=int, default=512)
@@ -26,8 +29,18 @@ def main(argv=None):
         scene, _ = import_splatfacto_ckpt(args.load_checkpoint)
     print(f"[viewer] {scene.num_gaussians} gaussians", flush=True)
 
+    cameras = None
+    if args.data:
+        from gaussctrl_tpu.data.datamanager import (
+            DataManager, DataManagerConfig)
+        dcfg = DataManagerConfig()
+        dcfg.dataparser.data = args.data
+        cameras = DataManager(dcfg).cameras
+        print(f"[viewer] {len(cameras)} train cameras", flush=True)
+
     from gaussctrl_tpu.viewer import ViewerServer
-    ViewerServer(scene, args.width, args.height, port=args.port).serve()
+    ViewerServer(scene, args.width, args.height, port=args.port,
+                 cameras=cameras).serve()
 
 
 if __name__ == "__main__":

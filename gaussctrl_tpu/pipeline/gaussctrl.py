@@ -66,7 +66,11 @@ class GaussCtrlConfig:
     self_attn_coeff: float = 0.6
     conditioning_scale: float = 1.0
     seed: int = 13789
-    render_batch: int = 8         # views per render/invert batch
+    # views per render/invert batch. 12 measured at the same DDIM step time
+    # as 8 on v5e (268 vs 273 ms — the marginal views ride the same MXU
+    # tiles), i.e. 33.5 -> 22.8 ms/view inversion for free; 16+ scales
+    # linearly again
+    render_batch: int = 12
     # EasyInv inversion refinement (arXiv 2408.05159): 0 = off (exact
     # reference behavior); ~0.85 blends each high-noise iterate with the
     # previous one for a tighter invert->denoise round trip
