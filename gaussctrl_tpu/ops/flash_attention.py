@@ -39,15 +39,18 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, tk_real: int,
     tk_pad = k_ref.shape[1]
     n_blocks = tk_pad // block_k
 
-    q = q_ref[0].astype(jnp.float32) * scale
+    # keep the matmul INPUTS in the model dtype (bf16 MXU runs at 4x the
+    # f32 rate on v5e) and accumulate in f32; the softmax running state
+    # stays f32. Scale applies to the f32 scores, not the bf16 operands.
+    q = q_ref[0]
 
     def body(i, carry):
         m_prev, l_prev, acc = carry
-        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v = v_ref[0, pl.ds(i * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)              # [bq, block_k]
+            preferred_element_type=jnp.float32) * scale      # [bq, block_k]
         kpos = i * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (bq, block_k), 1)
         s = jnp.where(kpos < tk_real, s, _NEG_INF)           # mask padded tail
@@ -56,7 +59,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, tk_real: int,
         alpha = jnp.exp(m_prev - m_new)
         l_new = l_prev * alpha + p.sum(axis=-1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         return m_new, l_new, acc
 
