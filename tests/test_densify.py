@@ -169,3 +169,34 @@ def test_pretrain_short_loop_runs_and_improves():
                               sh_degree=1)
     assert np.isfinite(float(metrics["loss"]))
     assert scene.num_gaussians > 0
+
+
+def test_pretrain_resolution_ramp_and_fullres_pallas():
+    """The resolution schedule must step 1/2^d -> ... -> full res, and the
+    full-res phase must route through the Pallas blend (interpret mode on
+    CPU) without diverging; isect_frac rides along in the train metrics."""
+    from gaussctrl_tpu.cameras.camera import make_cameras
+    from gaussctrl_tpu.splat.densify import DensifyConfig
+    from gaussctrl_tpu.splat.pretrain import PretrainConfig, pretrain
+    from gaussctrl_tpu.splat.render import render_rgbd
+
+    gt_scene = random_scene(jax.random.PRNGKey(6), 40, sh_degree=1, extent=0.4)
+    c2w = np.eye(4, dtype=np.float32)[:3]
+    c2w[2, 3] = 2.0
+    cams = make_cameras(c2w[None], 32, 32, 16, 16, 32, 32)
+    gt = render_rgbd(gt_scene, jnp.asarray(c2w), 32.0, 32.0, 16.0, 16.0,
+                     32, 32, jnp.zeros(3), 1)["rgb"][None]
+    pts = np.asarray(gt_scene.means[:20])
+    cols = np.full((20, 3), 0.5, np.float32)
+    logged = []
+    cfg = PretrainConfig(
+        num_steps=16, capacity_mult=1.5, eval_every=0,
+        num_downscales=1, resolution_schedule=8, fullres_blend="pallas",
+        densify=DensifyConfig(warmup=100, stop_at=100, reset_alpha_every=0),
+        sh_degree_interval=8)
+    scene, metrics = pretrain(cams, np.asarray(gt), pts, cols, cfg,
+                              sh_degree=1,
+                              log_fn=lambda s, m: logged.append((s, m)))
+    assert np.isfinite(float(metrics["loss"]))
+    assert "isect_frac" in metrics and float(metrics["isect_frac"]) <= 1.0
+    assert scene.num_gaussians == 20            # densify disabled
