@@ -30,12 +30,27 @@ def main(argv=None):
     p.add_argument("--experiment-name", default=None)
     p.add_argument("--sh-degree", type=int, default=3)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--resume-checkpoint", default=None,
+                   help="mid-run scene .npz to resume from (step parsed "
+                        "from the filename; schedules continue)")
     add_dataclass_flags(p, PretrainConfig, "trainer")
+    from gaussctrl_tpu.splat.rasterize import RasterConfig
+    add_dataclass_flags(p, RasterConfig, "raster")
     from gaussctrl_tpu.core.mesh import enable_persistent_cache
     enable_persistent_cache()
     args = p.parse_args(argv)
 
     cfg = apply_overrides(PretrainConfig(), args, "trainer")
+    from gaussctrl_tpu.splat.rasterize import RasterConfig
+    raster_cfg = apply_overrides(RasterConfig(), args, "raster")
+    init_scene, start_step = None, 0
+    if args.resume_checkpoint:
+        from gaussctrl_tpu.core.ckpt import checkpoint_step, load_scene_npz
+        init_scene = load_scene_npz(args.resume_checkpoint)
+        start_step = checkpoint_step(args.resume_checkpoint) or 0
+        print(f"[splat-train] resuming from {args.resume_checkpoint} "
+              f"@ step {start_step} ({init_scene.num_gaussians} gaussians)",
+              flush=True)
     dcfg = DataManagerConfig(load_all=True)
     dcfg.dataparser.data = args.data
     dm = DataManager(dcfg)
@@ -62,9 +77,10 @@ def main(argv=None):
         dm.cameras, dm.stacked_images(), parsed.points_xyz,
         parsed.points_rgb if parsed.points_rgb is not None
         else np.full_like(parsed.points_xyz, 0.5),
-        cfg, sh_degree=args.sh_degree, seed=args.seed,
+        cfg, sh_degree=args.sh_degree, raster_cfg=raster_cfg, seed=args.seed,
         log_fn=lambda s, m: writer.write(s, m),
-        ckpt_fn=lambda s, sc: save_checkpoint(out_dir / "ckpts", s, sc))
+        ckpt_fn=lambda s, sc: save_checkpoint(out_dir / "ckpts", s, sc),
+        init_scene=init_scene, start_step=start_step)
     print(f"[splat-train] done in {time.time() - t0:.0f}s — "
           f"{scene.num_gaussians} gaussians", flush=True)
     path = save_checkpoint(out_dir / "ckpts", cfg.num_steps, scene)

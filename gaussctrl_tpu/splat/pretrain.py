@@ -173,23 +173,37 @@ def pretrain(
     seed: int = 0,
     log_fn=None,
     ckpt_fn=None,
+    init_scene: Optional[GaussianScene] = None,
+    start_step: int = 0,
 ):
     """Full pre-training loop. Returns (scene [alive only], final metrics).
-    `ckpt_fn(step, scene)` fires every cfg.ckpt_every steps when set."""
+    `ckpt_fn(step, scene)` fires every cfg.ckpt_every steps when set.
+
+    Resume: pass `init_scene` (a saved mid-run scene, alive gaussians only)
+    and `start_step`; the resolution/SH/densify schedules pick up where the
+    interrupted run left off and the means-lr decay is offset to
+    `start_step` (densify statistics restart cold — one refine interval of
+    warm-up, harmless)."""
     import optax
 
-    scene = from_points(points_xyz, points_rgb, sh_degree)
+    if init_scene is not None:
+        scene = jax.tree_util.tree_map(jnp.asarray, init_scene)
+    else:
+        scene = from_points(points_xyz, points_rgb, sh_degree)
     n_seed = scene.num_gaussians
-    cap_max = int(cfg.capacity_mult * n_seed)
+    cap_max = max(int(cfg.capacity_mult * n_seed), n_seed)
     # bucketed static shapes: start near the seed count and double as the
     # buffer fills (grow_capacity) — a handful of recompiles instead of
     # paying cap_max's projection/binning cost from step 0
     capacity = min(cap_max, -(-int(1.5 * n_seed) // 4096) * 4096)
     scene, dstate = init_state(scene, capacity)
+    if start_step:
+        cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train, lr_step_offset=cfg.train.lr_step_offset + start_step))
     optimizer = make_optimizer(cfg.train)
     opt_state = optimizer.init(scene)
 
-    rng = np.random.default_rng(seed)
+    rng = np.random.default_rng(seed + start_step)
     keys = jax.random.split(jax.random.PRNGKey(seed), cfg.num_steps + 1)
     order: list = []
     metrics = {}
@@ -203,7 +217,7 @@ def pretrain(
             pyramid[f] = jnp.asarray(
                 im.reshape(v, h // f, f, w // f, f, c).mean((2, 4)))
     d = cfg.densify
-    for step in range(cfg.num_steps):
+    for step in range(start_step, cfg.num_steps):
         if not order:
             order = list(rng.permutation(len(cameras)))
         v = int(order.pop())
