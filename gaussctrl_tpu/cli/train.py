@@ -116,13 +116,15 @@ def main(argv=None):
         "data": str(args.data), "load_checkpoint": str(args.load_checkpoint),
     }, indent=2, default=str))
 
+    timings = {}
     t0 = time.time()
     if pipe.load_artifacts(dm.train_data):
         log("precomputed artifacts found — skipping render+invert (resume)")
     else:
         pipe.render_reverse(log_fn=log)
     jax.block_until_ready(pipe.z_T)  # async dispatch — block before timing
-    log(f"render+invert done in {time.time() - t0:.1f}s")
+    timings["render_invert_s"] = round(time.time() - t0, 2)
+    log(f"render+invert done in {timings['render_invert_s']}s")
 
     # persist resume artifacts in the dataparser's auto-discovery layout
     # (gc_dataparser_ns.py:409-420: frame_{i+1:05d}, unedited as jpg)
@@ -142,8 +144,10 @@ def main(argv=None):
     t1 = time.time()
     pipe.edit_images(log_fn=log)
     jax.block_until_ready(pipe.edited)
-    log(f"edit done in {time.time() - t1:.1f}s "
-        f"({len(dm) / (time.time() - t1):.3f} views/s)")
+    timings["edit_s"] = round(time.time() - t1, 2)
+    timings["edit_views_per_s"] = round(len(dm) / timings["edit_s"], 4)
+    log(f"edit done in {timings['edit_s']}s "
+        f"({timings['edit_views_per_s']} views/s)")
     ed = out_dir / "edited"
     ed.mkdir(exist_ok=True)
     _save_images(ed, pipe.edited)
@@ -158,8 +162,14 @@ def main(argv=None):
     pipe.reoptimize(train_cfg=tcfg,
                     log_fn=lambda s, m: log(f"re-opt step {s}: {m}"),
                     ckpt_every=args.steps_per_save, ckpt_fn=ckpt_fn)
-    log(f"re-optimization ({pcfg.render_rate} steps) done in {time.time() - t2:.1f}s")
-    log(f"total wall-clock {time.time() - t0:.1f}s")
+    timings["reoptimize_s"] = round(time.time() - t2, 2)
+    timings["total_s"] = round(time.time() - t0, 2)
+    timings["num_views"] = len(dm)
+    timings["num_gaussians"] = int(pipe.scene.num_gaussians)
+    log(f"re-optimization ({pcfg.render_rate} steps) done in {timings['reoptimize_s']}s")
+    log(f"total wall-clock {timings['total_s']}s")
+    # phase timings as a committed-artifact record (VERDICT r1 #2)
+    (out_dir / "timings.json").write_text(json.dumps(timings, indent=2))
     return out_dir
 
 

@@ -250,6 +250,7 @@ def reoptimize(
         # render_reverse path vmaps the renderer (vmap over the scalar-
         # prefetch kernel is unsupported)
         raster_cfg = raster_cfg.replace(blend_impl="pallas")
+    opt_state = init_optimizer_state(scene, train_cfg)
     cam_deltas = cam_opt_state = None
     if train_cfg.use_camera_opt:
         cam_deltas = jnp.zeros((len(cameras), 6))

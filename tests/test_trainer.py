@@ -116,12 +116,15 @@ def test_camera_opt_recovers_pose_perturbation():
     # camera_opt group can fix the mismatch
     bad = cams.replace(c2w=cams.c2w.at[0, :, 3].add(
         jnp.array([0.05, -0.04, 0.03])))
+    # (the correct local-frame right-composition converges a little slower
+    # on a world-frame translation than the old world-frame composition did
+    # — more steps + lr, same 2x-improvement bar)
     tcfg = TrainConfig(background="black", use_camera_opt=True,
-                       camera_opt_accum=4, lr_camera_opt=5e-3,
+                       camera_opt_accum=4, lr_camera_opt=1e-2,
                        lr_means=1e-12, lr_features_dc=1e-12,
                        lr_features_rest=1e-12, lr_opacities=1e-12,
                        lr_scales=1e-12, lr_quats=1e-12)
-    trained, metrics = reoptimize(scene, bad, targets, num_steps=160,
+    trained, metrics = reoptimize(scene, bad, targets, num_steps=240,
                                   raster_cfg=cfg, train_cfg=tcfg)
     deltas = metrics["camera_deltas"]
     c2w_fixed = apply_camera_opt(bad.c2w[0], deltas[0])
