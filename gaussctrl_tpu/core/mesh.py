@@ -27,9 +27,23 @@ def enable_persistent_cache(cache_dir: str | None = None) -> None:
     Safe to call multiple times; GAUSSCTRL_NO_CACHE=1 disables."""
     if os.environ.get("GAUSSCTRL_NO_CACHE") == "1":
         return
-    cache_dir = cache_dir or os.environ.get(
-        "GAUSSCTRL_CACHE_DIR",
-        os.path.join(os.path.expanduser("~"), ".cache", "gaussctrl_jax"))
+    if cache_dir is None:
+        cache_dir = os.environ.get(
+            "GAUSSCTRL_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache", "gaussctrl_jax"))
+        # CPU compiles are AOT'd against the build host's exact ISA features;
+        # a cache written on another machine loads with "machine feature not
+        # supported ... could lead to SIGILL" (observed). Partition the CPU
+        # cache per machine; TPU artifacts are device-keyed already.
+        try:
+            if jax.default_backend() == "cpu":
+                import hashlib
+                with open("/proc/cpuinfo") as f:
+                    flags = next((l for l in f if l.startswith("flags")), "")
+                tag = hashlib.sha1(flags.encode()).hexdigest()[:10]
+                cache_dir = os.path.join(cache_dir, f"cpu-{tag}")
+        except Exception:
+            pass
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
