@@ -129,3 +129,48 @@ def test_render_rgbd_routes_pallas(rng):
                                np.asarray(ref["rgb"]), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(got["depth"]),
                                np.asarray(ref["depth"]), rtol=1e-3, atol=1e-3)
+
+
+def test_plan_invariants(rng):
+    """Property test: the packing plan covers every sorted instance exactly
+    once, work items visit every block exactly once, and empty tiles get a
+    single trash-block work item."""
+    from gaussctrl_tpu.ops.splat_blend import _plan, plan_capacity
+
+    T, K, budget = 13, 128, 1664
+    lens = rng.integers(0, 250, T)
+    lens[3] = 0
+    lens[7] = 0
+    while lens.sum() > budget:          # real bins never exceed the budget
+        lens = lens // 2
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int32)
+    ends = (starts + lens).astype(np.int32)
+    B_cap, G, M_al = plan_capacity(budget, T, K)
+    plan = _plan(jnp.asarray(starts), jnp.asarray(ends), budget, T, K)
+    tile = np.asarray(plan["tile"])
+    blk = np.asarray(plan["blk"])
+    first = np.asarray(plan["first"])
+    islast = np.asarray(plan["islast"])
+    src = np.asarray(plan["src"])
+    valid = np.asarray(plan["valid"])
+
+    # every sorted position in [starts[t], ends[t]) appears exactly once
+    covered = sorted(src[valid].tolist())
+    expected = sorted(p for t in range(T)
+                      for p in range(starts[t], ends[t]))
+    assert covered == expected
+
+    # valid slots of block b belong to exactly one tile, consecutive
+    live_items = [(t, b) for t, b in zip(tile, blk) if t < T]
+    real_blocks = [b for _, b in live_items if b < B_cap]
+    assert len(real_blocks) == len(set(real_blocks))        # no block twice
+
+    # per-tile first/last flags are each set exactly once for live tiles
+    for t in range(T):
+        items = [i for i, tt in enumerate(tile) if tt == t]
+        assert items, t                                     # even empty tiles
+        assert sum(first[i] for i in items) == 1
+        assert sum(islast[i] for i in items) == 1
+        # empty tiles route to the trash block
+        if lens[t] == 0:
+            assert all(blk[i] == B_cap for i in items)
