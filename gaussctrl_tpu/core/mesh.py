@@ -25,6 +25,16 @@ def enable_persistent_cache(cache_dir: str | None = None) -> None:
     """Turn on JAX's persistent compilation cache (compiles of the SD stack
     take minutes on this hardware; across CLI invocations they are identical).
     Safe to call multiple times; GAUSSCTRL_NO_CACHE=1 disables."""
+    # platform override for every CLI (JAX_PLATFORMS is too late here — the
+    # environment's sitecustomize pre-imports jax and pins the hardware
+    # platform): GAUSSCTRL_PLATFORM=cpu runs any CLI TPU-free, e.g. for
+    # rendering checkpoints on a box without a (live) chip
+    plat = os.environ.get("GAUSSCTRL_PLATFORM")
+    if plat:
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
     if os.environ.get("GAUSSCTRL_NO_CACHE") == "1":
         return
     if cache_dir is None:

@@ -101,7 +101,10 @@ class _Binned(NamedTuple):
     lvalid: jnp.ndarray      # [cap_l] rank occupied
 
 
-_SENTINEL = jnp.uint32(0xFFFFFFFF)
+# numpy scalar, NOT jnp: a module-level jnp constant initializes the device
+# backend at `import gaussctrl_tpu`, which hangs every CLI (even --help)
+# when the TPU tunnel is unreachable
+_SENTINEL = np.uint32(0xFFFFFFFF)
 
 
 def _tile_window(xys, radii, alive, kx, ky, n_tiles_x, n_tiles_y, ts):
