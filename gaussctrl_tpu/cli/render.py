@@ -115,10 +115,12 @@ def _write_video(path: Path, frames, fps):
     vw.release()
 
 
-def _dataset_cameras(data: str):
+def _dataset_cameras(data: str, downscale: int | None = None):
     from gaussctrl_tpu.data.datamanager import DataManager, DataManagerConfig
     cfg = DataManagerConfig(load_all=True)
     cfg.dataparser.data = data
+    if downscale:
+        cfg.dataparser.downscale_factor = downscale
     return DataManager(cfg).cameras
 
 
@@ -128,8 +130,13 @@ def _common_kwargs(args):
 
 
 def cmd_dataset(args):
+    import jax
     scene = _load_scene(args.load_checkpoint, args)
-    cams = _dataset_cameras(args.data)
+    cams = _dataset_cameras(args.data, args.downscale_factor)
+    if args.max_views and args.max_views < len(cams):
+        idx = np.linspace(0, len(cams) - 1, args.max_views).astype(int)
+        cams = jax.tree_util.tree_map(
+            lambda x: x[idx] if hasattr(x, "ndim") and x.ndim else x, cams)
     _render_views(scene, cams, Path(args.output_path), args.rendered_output_names,
                   save_depth_npy=args.save_depth_npy, fmt=args.image_format,
                   **_common_kwargs(args))
@@ -283,6 +290,10 @@ def build_parser():
     d = sub.add_parser("dataset", help="render every dataset view")
     common(d)
     d.add_argument("--save-depth-npy", action="store_true")
+    d.add_argument("--downscale-factor", type=int, default=None,
+                   help="render at 1/f resolution (preview)")
+    d.add_argument("--max-views", type=int, default=0,
+                   help="render only N evenly-spaced views (0 = all)")
     d.set_defaults(fn=cmd_dataset)
 
     c = sub.add_parser("camera-path", help="render a camera-path JSON")

@@ -55,6 +55,8 @@ def build_parser() -> argparse.ArgumentParser:
     add_dataclass_flags(p, GaussCtrlConfig, "pipeline")
     add_dataclass_flags(p, DataManagerConfig, "pipeline.datamanager")
     add_dataclass_flags(p, TrainConfig, "optimizers")
+    from gaussctrl_tpu.splat.rasterize import RasterConfig
+    add_dataclass_flags(p, RasterConfig, "raster")
     return p
 
 
@@ -68,6 +70,8 @@ def main(argv=None):
     pcfg = apply_overrides(GaussCtrlConfig(), args, "pipeline")
     dcfg = apply_overrides(DataManagerConfig(), args, "pipeline.datamanager")
     tcfg = apply_overrides(TrainConfig(), args, "optimizers")
+    from gaussctrl_tpu.splat.rasterize import RasterConfig
+    rcfg = apply_overrides(RasterConfig(), args, "raster")
     dcfg.dataparser.data = args.data
 
     exp = args.experiment_name or Path(args.data).name
@@ -103,7 +107,7 @@ def main(argv=None):
         log(f"text->mask stack ready for object '{pcfg.langsam_obj}'")
 
     pipe = GaussCtrlPipeline(pcfg, scene, dm.cameras, sd_config=sd_config,
-                             masker=masker)
+                             masker=masker, raster_cfg=rcfg)
     # coordinate-recovery record (gc_trainer.py:180-182 contract)
     (out_dir / "dataparser_transforms.json").write_text(json.dumps({
         "transform": np.asarray(dm.parsed.dataparser_transform).tolist(),
