@@ -454,15 +454,15 @@ def _blend_fwd_impl(n_tiles_x, n_tiles_y, budget, K, binned, xys, conics,
     n_tiles = n_tiles_x * n_tiles_y
     ch = colors.shape[-1]
     plan = _plan(binned.starts, binned.ends, budget, n_tiles, K)
-    inst_buf, gi_al = _pack_instances(plan, binned.gauss_idx, xys, conics,
-                                      colors, opacities)
+    inst_buf, _ = _pack_instances(plan, binned.gauss_idx, xys, conics,
+                                  colors, opacities)
     out3, tfin3, ckpt3 = _forward_call(plan["tile"], plan["blk"],
                                        plan["first"], plan["skip"], inst_buf,
                                        n_tiles_x, n_tiles, ts, ch, K)
     tfin = tfin3[:n_tiles, :, 0]                       # [T, P]
     tiles = out3[:n_tiles] + tfin[:, :, None] * background[None, None, :]
     alpha = 1.0 - tfin
-    res = (plan, inst_buf, gi_al, tfin, ckpt3, binned, xys, conics, colors,
+    res = (plan, inst_buf, tfin, ckpt3, binned, xys, conics, colors,
            opacities, background)
     return (tiles, alpha), res
 
@@ -474,11 +474,10 @@ def _blend_fwd(n_tiles_x, n_tiles_y, budget, K, k2s, k2L, binned, xys,
 
 
 def _blend_bwd(n_tiles_x, n_tiles_y, budget, K, k2s, k2L, res, ct):
-    (plan, inst_buf, gi_al, tfin, ckpt3, binned, xys, conics, colors,
+    (plan, inst_buf, tfin, ckpt3, binned, xys, conics, colors,
      opacities, background) = res
     g_tiles, g_alpha = ct
     ts = 16
-    P = ts * ts
     n_tiles = n_tiles_x * n_tiles_y
     ch = colors.shape[-1]
     n = xys.shape[0]
