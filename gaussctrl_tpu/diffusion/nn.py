@@ -42,8 +42,12 @@ def _use_flash(tq: int, tk: int, head_dim: int = 128) -> bool:
         return False
     if flag == "1":
         return True
+    # the 2048 cap predates the bf16-matmul flash kernel (round 2) — the
+    # einsum path's f32 [B,h,4096,4096] scores are ~11 GB of HBM traffic per
+    # layer at batch 8; override the cap for A/B until re-measured:
+    max_tk = int(os.environ.get("GAUSSCTRL_FLASH_MAX_TK", "2048"))
     return (jax.default_backend() == "tpu" and tq >= 256 and tk >= 256
-            and tk <= 2048 and head_dim <= 128)
+            and tk <= max_tk and head_dim <= 128)
 
 
 def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, heads: int) -> jnp.ndarray:
