@@ -3,6 +3,7 @@
 set -e
 DATA="${DATA:-data}/dinosaur"
 CKPT="${CKPT:-$(python -m gaussctrl_tpu.cli.splat_train --data "$DATA" \
+  --raster.isect_divisor 4 --raster.large_divisor 32 \
   --output-dir unedited_models --experiment-name dinosaur | tail -1)}"
 
 edit() {

@@ -3,6 +3,7 @@
 set -e
 DATA="${DATA:-data}/garden"
 CKPT="${CKPT:-$(python -m gaussctrl_tpu.cli.splat_train --data "$DATA" \
+  --raster.isect_divisor 4 --raster.large_divisor 32 \
   --output-dir unedited_models --experiment-name garden | tail -1)}"
 
 python -m gaussctrl_tpu.cli.train --load-checkpoint "$CKPT" \

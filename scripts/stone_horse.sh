@@ -4,6 +4,7 @@
 set -e
 DATA="${DATA:-data}/stone_horse"
 CKPT="${CKPT:-$(python -m gaussctrl_tpu.cli.splat_train --data "$DATA" \
+  --raster.isect_divisor 4 --raster.large_divisor 32 \
   --output-dir unedited_models --experiment-name stone_horse | tail -1)}"
 
 edit() {
