@@ -51,7 +51,32 @@ def _timeit(fn, *args, warmup=1, iters=3):
     return (time.perf_counter() - t0) / iters
 
 
+def _device_or_die(timeout_s: float = 180.0):
+    """Fail FAST with a diagnostic JSON line if the TPU tunnel is down —
+    jax.devices() hangs indefinitely in make_c_api_client when the axon
+    terminal is unreachable (observed round 2), which would eat the whole
+    driver timeout instead of reporting."""
+    import threading
+    out = {}
+
+    def probe():
+        out["devices"] = jax.devices()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "devices" not in out:
+        print(json.dumps({
+            "metric": "views edited/sec at 512x512", "value": 0.0,
+            "unit": "views/s", "vs_baseline": 0.0,
+            "detail": {"error": "TPU device init timed out "
+                                f"after {timeout_s}s (tunnel down)"}}))
+        raise SystemExit(1)
+    return out["devices"]
+
+
 def main():
+    _device_or_die()
     from gaussctrl_tpu.core.mesh import enable_persistent_cache
     enable_persistent_cache()
     from gaussctrl_tpu.diffusion.config import SDConfig

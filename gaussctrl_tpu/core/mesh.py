@@ -46,7 +46,9 @@ def enable_persistent_cache(cache_dir: str | None = None) -> None:
         # supported ... could lead to SIGILL" (observed). Partition the CPU
         # cache per machine; TPU artifacts are device-keyed already.
         try:
-            if jax.default_backend() == "cpu":
+            # config read, NOT jax.default_backend(): backend init hangs
+            # indefinitely when the TPU tunnel is down
+            if jax.config.jax_platforms == "cpu":
                 import hashlib
                 with open("/proc/cpuinfo") as f:
                     flags = next((l for l in f if l.startswith("flags")), "")
