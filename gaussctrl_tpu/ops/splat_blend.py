@@ -28,7 +28,7 @@ held in VMEM instead of HBM round-trips:
             replays): the suffix S_i = sum_{j>i} (g.c_j) w_j accumulates in
             scratch while T_before is reconstructed from the forward
             checkpoints. Per-instance gradients reduce over pixels
-            (sublanes) into a [16, M_al] buffer; _reduce_by_slot then turns
+            (sublanes) into a [16, M_al] buffer; reduce_by_slot then turns
             instance grads into per-gaussian grads with one scatter + one
             windowed reshape-sum (no re-sort — the candidate-slot identity
             carried through the bin sort makes the inverse permutation a
@@ -400,37 +400,6 @@ def _backward_call(tile_r, blk_r, last_r, gsel_r, skip_r, inst_buf, go,
     )(tile_r, blk_r, last_r, gsel_r, skip_r, inst_buf, go, gterm, ckpt)
 
 
-def _reduce_by_slot(ginst, plan, binned, n: int, k2s: int, k2L: int,
-                    d: int):
-    """Per-gaussian gradient sums WITHOUT re-sorting by gaussian.
-
-    Every instance is a candidate-grid slot (binned.slot_idx): gaussian g's
-    small-class slots are exactly rows g*k2s..g*k2s+k2s-1, the large-class
-    ranks go through binned.lmap. One scatter builds slot -> aligned-slot,
-    one row-gather + reshape-sum collapses windows — the sort-based
-    _reduce_by_gaussian was 319 ms at 3.5M instances, ~75%% of the whole
-    backward."""
-    M_al = ginst.shape[1]
-    budget = binned.slot_idx.shape[0]
-    cap_l = binned.lmap.shape[0]
-    total_slots = n * k2s + cap_l * k2L
-
-    slot_al = binned.slot_idx[jnp.minimum(plan["src"], budget - 1)]   # [M_al]
-    tgt = jnp.where(plan["valid"], slot_al, total_slots)
-    a_of_slot = jnp.full((total_slots,), M_al, jnp.int32).at[tgt].set(
-        jnp.arange(M_al, dtype=jnp.int32), mode="drop")
-
-    rows = jnp.concatenate(
-        [ginst[:d].T, jnp.zeros((1, d), jnp.float32)])                # pad row
-    per_slot = rows[a_of_slot]                                        # [S, d]
-    out = per_slot[: n * k2s].reshape(n, k2s, d).sum(1)
-    if cap_l > 1:
-        lsum = per_slot[n * k2s:].reshape(cap_l, k2L, d).sum(1)
-        out = out.at[jnp.where(binned.lvalid, binned.lmap, n)].add(
-            lsum, mode="drop")
-    return out
-
-
 # ---------------------------------------------------------------------------
 # Differentiable entry point (same contract as rasterize._blend_tiles_cv)
 # ---------------------------------------------------------------------------
@@ -497,8 +466,12 @@ def _blend_bwd(n_tiles_x, n_tiles_y, budget, K, k2s, k2L, res, ct):
                            inst_buf, go, gterm, ckpt3, n_tiles_x, n_tiles,
                            ts, ch, K)
 
+    from gaussctrl_tpu.splat.rasterize import reduce_by_slot
     d = 5 + ch + 1
-    g = _reduce_by_slot(ginst, plan, binned, n, k2s, k2L, d)
+    budget2 = binned.slot_idx.shape[0]
+    slot_al = binned.slot_idx[jnp.minimum(plan["src"], budget2 - 1)]
+    g = reduce_by_slot(ginst[:d].T, slot_al, plan["valid"], binned, n,
+                       k2s, k2L)
     g = g.astype(xys.dtype)
     g_bg = jnp.einsum("tp,tpk->k", tfin, g_tiles.astype(jnp.float32))
     g_binned = jax.tree_util.tree_map(
