@@ -12,8 +12,6 @@ shaped, so per-view rendering vmaps/shards over the leading axis.
 
 from __future__ import annotations
 
-import math
-from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np

@@ -62,7 +62,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     import jax
-    import jax.numpy as jnp
+
 
     from gaussctrl_tpu.core.mesh import enable_persistent_cache
     enable_persistent_cache()
