@@ -32,20 +32,29 @@ def load_state_dict(model_dir: str, filename_stem: str = "diffusion_pytorch_mode
                     ) -> Dict[str, np.ndarray]:
     """Load a flat {torch_key: np.ndarray} from a model directory.
 
-    Tries `{stem}.safetensors` then `{stem}.bin`, falling back to the other
-    standard HF names (`model.*` for transformers-style dirs like
-    text_encoder/, `pytorch_model.bin` for older transformers dumps) —
-    real checkpoints use different names depending on the library version.
+    Tries `{stem}.safetensors` then `{stem}.bin`, falling back only to
+    KNOWN-EQUIVALENT names for the same component family (`model.*` ↔
+    `pytorch_model.*` for transformers-style dirs like text_encoder/ —
+    different library versions write different names for the same weights).
+    A diffusers stem never falls back to a transformers stem or vice versa:
+    that would silently load an unrelated state dict that happens to share
+    the directory. When a fallback name is used, it is logged.
     """
-    stems = [filename_stem]
-    for alt in ("model", "pytorch_model", "diffusion_pytorch_model"):
-        if alt not in stems:
-            stems.append(alt)
+    _EQUIV = {  # stems that name the SAME weights across library versions
+        "model": ("model", "pytorch_model"),
+        "pytorch_model": ("pytorch_model", "model"),
+        "diffusion_pytorch_model": ("diffusion_pytorch_model",),
+    }
+    stems = list(_EQUIV.get(filename_stem, (filename_stem,)))
     tried = []
     for stem in stems:
         st_path = os.path.join(model_dir, f"{stem}.safetensors")
         bin_path = os.path.join(model_dir, f"{stem}.bin")
         tried += [st_path, bin_path]
+        if stem != filename_stem and (os.path.exists(st_path)
+                                      or os.path.exists(bin_path)):
+            print(f"[weights] {model_dir}: '{filename_stem}.*' absent, "
+                  f"loading equivalent '{stem}.*'")
         if os.path.exists(st_path):
             from safetensors import safe_open
             out = {}

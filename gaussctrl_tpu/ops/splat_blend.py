@@ -73,7 +73,10 @@ def _searchsorted_right(cum, queries):
     def body(_, lohi):
         lo, hi = lohi
         mid = (lo + hi) >> 1
-        pred = cum[jnp.minimum(mid, m - 1)] <= queries
+        # lo < hi guard: once the bracket converges the iterate must be a
+        # fixed point, otherwise queries >= cum[-1] overshoot to m+1 (the
+        # fori_loop runs a static iteration count past convergence)
+        pred = (lo < hi) & (cum[jnp.minimum(mid, m - 1)] <= queries)
         return jnp.where(pred, mid + 1, lo), jnp.where(pred, hi, mid)
 
     lo, _ = jax.lax.fori_loop(0, iters, body, (lo, hi))

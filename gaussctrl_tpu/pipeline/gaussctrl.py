@@ -158,8 +158,12 @@ class GaussCtrlPipeline:
 
     # -- prompt helpers ----------------------------------------------------
     def _ctx(self, prompt: str, batch: int) -> jnp.ndarray:
-        if not hasattr(self, "_ctx_cache"):
+        # keyed defensively by the CURRENT params object, not prompt alone:
+        # params are fixed per pipeline instance today, but a pipeline reused
+        # across checkpoints must not serve embeddings from the old weights
+        if getattr(self, "_ctx_cache_params", None) is not self.params:
             self._ctx_cache = {}
+            self._ctx_cache_params = self.params
         if prompt not in self._ctx_cache:
             ids = jnp.asarray(self.tokenizer.encode(prompt))[None]
             self._ctx_cache[prompt] = jax.jit(encode_text, static_argnums=0)(

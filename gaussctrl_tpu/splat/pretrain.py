@@ -49,11 +49,15 @@ class PretrainConfig:
     # fresh-split scene at full res by step 500 and never converged)
     num_downscales: int = 2
     resolution_schedule: int = 3000
-    # blend path at FULL resolution ("pallas" = ops/splat_blend.py kernel,
-    # ~20% faster per train step at 134k gaussians and scaling better with
-    # depth); downscaled phases use the XLA blend — at small images the
-    # kernel's aligned-buffer prep dominates
-    fullres_blend: str = "pallas"
+    # blend path at FULL resolution: "auto" routes to the ops/splat_blend.py
+    # Pallas kernel on TPU only (~20% faster per train step at 134k gaussians
+    # and scaling better with depth) and leaves other backends on the XLA
+    # blend (the kernel would run in interpret mode there — orders of
+    # magnitude slower); "pallas"/"xla" are explicit opt-ins honored on any
+    # backend; "" disables the full-res override. Downscaled phases always
+    # use the XLA blend — at small images the kernel's aligned-buffer prep
+    # dominates.
+    fullres_blend: str = "auto"
     densify: DensifyConfig = DensifyConfig()
     train: TrainConfig = TrainConfig(lr_step_offset=0)
 
@@ -226,8 +230,12 @@ def pretrain(
             f = 2 ** max(cfg.num_downscales - step // cfg.resolution_schedule, 0)
         else:
             f = 1
-        rc = (raster_cfg.replace(blend_impl=cfg.fullres_blend)
-              if f == 1 and cfg.fullres_blend else raster_cfg)
+        fullres_blend = cfg.fullres_blend
+        if fullres_blend == "auto":
+            fullres_blend = ("pallas" if jax.default_backend() == "tpu"
+                             else "")
+        rc = (raster_cfg.replace(blend_impl=fullres_blend)
+              if f == 1 and fullres_blend else raster_cfg)
         scene, opt_state, dstate, metrics = pretrain_step(
             scene, opt_state, dstate,
             cameras.c2w[v], cameras.fx[v] / f, cameras.fy[v] / f,

@@ -55,11 +55,16 @@ T_EPS = 1e-4
 @struct.dataclass
 class RasterConfig:
     tile_size: int = struct.field(pytree_node=False, default=16)
-    # blend primal path: "xla" (the capacity-vectorized segmented blend) or
+    # blend primal path: "auto" lets single-view training loops (reoptimize,
+    # pretrain full-res) upgrade to the Pallas kernel on TPU while batched /
+    # vmapped renders stay on XLA (vmap over the scalar-prefetch kernel is
+    # unsupported); "xla" (the capacity-vectorized segmented blend) and
     # "pallas" (ops/splat_blend.py — exact fwd+bwd kernel with VMEM-resident
-    # transmittance; requires tile_size 16). Both compute the same function;
-    # equivalence pinned by tests/test_splat_blend.py.
-    blend_impl: str = struct.field(pytree_node=False, default="xla")
+    # transmittance; requires tile_size 16) are explicit opt-ins that are
+    # always honored. Both compute the same function; equivalence pinned by
+    # tests/test_splat_blend.py. At the rasterize dispatch below, "auto"
+    # resolves to XLA (this layer can't know whether it's under vmap).
+    blend_impl: str = struct.field(pytree_node=False, default="auto")
     # static per-gaussian tile window for the LARGE class (clamps giant
     # gaussians' footprints; the window is centered on the gaussian when
     # clamped)

@@ -174,3 +174,21 @@ def test_plan_invariants(rng):
         # empty tiles route to the trash block
         if lens[t] == 0:
             assert all(blk[i] == B_cap for i in items)
+
+
+def test_searchsorted_right_overflow():
+    """Queries >= cum[-1] must return exactly m (never m+1): the helper's
+    contract is result <= len(cum), and an unclamped caller indexing with
+    the result must not read out of bounds (ADVICE r2)."""
+    from gaussctrl_tpu.ops.splat_blend import _searchsorted_right
+
+    cum = jnp.asarray([5.0])
+    got = _searchsorted_right(cum, jnp.asarray([10.0, 5.0, 4.0, 0.0]))
+    np.testing.assert_array_equal(np.asarray(got), [1, 1, 0, 0])
+
+    # property check vs np.searchsorted(side="right") incl. boundary queries
+    cum2 = jnp.asarray(np.cumsum([3, 0, 7, 1, 4]).astype(np.float32))
+    qs = np.asarray([0, 2, 3, 9, 10, 11, 14, 15, 16, 100], np.float32)
+    got2 = _searchsorted_right(cum2, jnp.asarray(qs))
+    np.testing.assert_array_equal(
+        np.asarray(got2), np.searchsorted(np.asarray(cum2), qs, side="right"))
