@@ -233,11 +233,30 @@ class GaussCtrlPipeline:
         bs = self._round_up_views(min(self.config.render_batch, V))
         sh = self.scene.sh_degree
 
-        render_batch = jax.jit(jax.vmap(
-            lambda scene, c2w, fx, fy, cx, cy: render_rgbd(
-                scene, c2w, fx, fy, cx, cy, cams.width, cams.height,
-                jnp.zeros(3), sh, self.raster_cfg),
-            in_axes=(None, 0, 0, 0, 0, 0)))
+        from gaussctrl_tpu.splat.rasterize import resolve_auto_blend
+        rc_single = resolve_auto_blend(self.raster_cfg)
+
+        def _render_one(scene, c2w, fx, fy, cx, cy, cfg):
+            return render_rgbd(scene, c2w, fx, fy, cx, cy, cams.width,
+                               cams.height, jnp.zeros(3), sh, cfg)
+
+        if self.mesh is None and rc_single.blend_impl == "pallas":
+            # single-chip Pallas lane: the blend kernel can't be vmapped
+            # (scalar prefetch), so batch views with lax.map — each view's
+            # render is large enough to fill the chip on its own, and the
+            # kernel's fwd wins over the XLA blend at production scale
+            render_batch = jax.jit(
+                lambda scene, c2w, fx, fy, cx, cy: jax.lax.map(
+                    lambda a: _render_one(scene, *a, rc_single),
+                    (c2w, fx, fy, cx, cy)))
+        else:
+            # mesh mode keeps vmap: the view axis is sharded over devices
+            # and lax.map would serialize it into cross-device gathers
+            rc_batch = resolve_auto_blend(self.raster_cfg, vmapped=True)
+            render_batch = jax.jit(jax.vmap(
+                lambda scene, c2w, fx, fy, cx, cy: _render_one(
+                    scene, c2w, fx, fy, cx, cy, rc_batch),
+                in_axes=(None, 0, 0, 0, 0, 0)))
 
         rgbs, depths = [], []
         for lo in range(0, V, bs):

@@ -93,6 +93,8 @@ def _eval_psnr(scene, cameras, images, sh_degree, raster_cfg):
     metric (the per-step train PSNR is view- and schedule-resolution-noisy).
     Also reports intersection-buffer occupancy (>1.0 ⇒ binning overflow,
     lower RasterConfig.isect_divisor)."""
+    from gaussctrl_tpu.splat.rasterize import resolve_auto_blend
+    raster_cfg = resolve_auto_blend(raster_cfg)  # single-view loop: Pallas ok
     v_idx = [int(i * len(cameras) / 4) for i in range(4)]
     h, w = int(cameras.height), int(cameras.width)
     vals = []

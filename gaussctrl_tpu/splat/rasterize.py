@@ -112,6 +112,19 @@ class _Binned(NamedTuple):
 _SENTINEL = np.uint32(0xFFFFFFFF)
 
 
+def resolve_auto_blend(cfg: "RasterConfig", vmapped: bool = False
+                       ) -> "RasterConfig":
+    """Resolve blend_impl="auto" for a SINGLE-VIEW call site: upgrade to the
+    Pallas kernel on TPU, keep XLA elsewhere. Call sites that vmap the
+    renderer pass vmapped=True (vmap over the scalar-prefetch kernel is
+    unsupported — they batch via lax.map instead when they want the kernel).
+    Explicit "xla"/"pallas" choices pass through untouched."""
+    if cfg.blend_impl == "auto" and not vmapped \
+            and jax.default_backend() == "tpu":
+        return cfg.replace(blend_impl="pallas")
+    return cfg
+
+
 def _tile_window(xys, radii, alive, kx, ky, n_tiles_x, n_tiles_y, ts):
     """Centered, clamped [kx, ky] tile window per gaussian.
 
@@ -208,10 +221,13 @@ def _bin_and_sort(xys, depths, radii, n_tiles_x, n_tiles_y, cfg: RasterConfig):
         rank = jnp.cumsum(is_large) - is_large          # 0-based rank among large
         eff_large = is_large & (rank < cap_l)
         # compact the (at most cap_l) large gaussians' indices
-        lmap = jnp.zeros((cap_l,), jnp.int32).at[
-            jnp.where(eff_large, rank, cap_l)].set(idx, mode="drop")
-        lvalid = jnp.zeros((cap_l,), bool).at[
-            jnp.where(eff_large, rank, cap_l)].set(True, mode="drop")
+        # distinct dropped targets (cap_l + idx) let both scatters be
+        # unique_indices (ranks of eff_large gaussians are distinct)
+        ltgt = jnp.where(eff_large, rank, cap_l + idx)
+        lmap = jnp.zeros((cap_l,), jnp.int32).at[ltgt].set(
+            idx, mode="drop", unique_indices=True)
+        lvalid = jnp.zeros((cap_l,), bool).at[ltgt].set(
+            True, mode="drop", unique_indices=True)
         # small class (everything else, incl. large-overflow, window-clamped)
         sxS, syS, spxS, spyS, _, _ = _tile_window(
             xys, radii, alive & ~eff_large, ksx, ksy, n_tiles_x, n_tiles_y, ts)
@@ -526,16 +542,25 @@ def reduce_by_slot(rows, slot_of_row, valid, binned, n: int, k2s: int,
     m, d = rows.shape
     cap_l = binned.lmap.shape[0]
     total_slots = n * k2s + cap_l * k2L
-    tgt = jnp.where(valid, slot_of_row, total_slots)
+    ar = jnp.arange(m, dtype=jnp.int32)
+    # invalid rows get DISTINCT out-of-bounds targets (total_slots + i, all
+    # dropped) so the scatter can be declared unique_indices — without the
+    # annotation XLA-on-TPU serializes the M-sized scatter defensively
+    # (valid targets are unique by construction: slot_idx is a permutation
+    # payload, so no two sorted rows share a candidate-grid slot)
+    tgt = jnp.where(valid, slot_of_row, total_slots + ar)
     row_of_slot = jnp.full((total_slots,), m, jnp.int32).at[tgt].set(
-        jnp.arange(m, dtype=jnp.int32), mode="drop")
+        ar, mode="drop", unique_indices=True)
     rows_p = jnp.concatenate([rows, jnp.zeros((1, d), rows.dtype)])
     per_slot = rows_p[row_of_slot]                                   # [S, d]
     out = per_slot[: n * k2s].reshape(n, k2s, d).sum(1)
     if cap_l > 1:
         lsum = per_slot[n * k2s:].reshape(cap_l, k2L, d).sum(1)
-        out = out.at[jnp.where(binned.lvalid, binned.lmap, n)].add(
-            lsum, mode="drop")
+        # same trick: each valid lmap row names a distinct gaussian, invalid
+        # rows get distinct dropped targets >= n
+        ltgt = jnp.where(binned.lvalid, binned.lmap,
+                         n + jnp.arange(cap_l, dtype=jnp.int32))
+        out = out.at[ltgt].add(lsum, mode="drop", unique_indices=True)
     return out
 
 

@@ -95,6 +95,8 @@ def render_camera(
     cfg: RasterConfig = RasterConfig(),
 ):
     """Render the `cam_idx`-th camera of a batch (dynamic index, static shapes)."""
+    from gaussctrl_tpu.splat.rasterize import resolve_auto_blend
+    cfg = resolve_auto_blend(cfg)  # always a single-view call (callers loop)
     c2w = cameras.c2w[cam_idx]
     return render_rgbd(
         scene, c2w,

@@ -243,15 +243,12 @@ def reoptimize(
 
     if sh_degree is None:
         sh_degree = scene.sh_degree
-    if raster_cfg.blend_impl == "auto" and jax.default_backend() == "tpu":
-        # per-step re-opt always runs at full res on one view — the Pallas
-        # blend's fwd+bwd wins there (421 vs 526 ms/step at 134k gaussians);
-        # the pipeline-level default stays XLA because the batched
-        # render_reverse path vmaps the renderer (vmap over the scalar-
-        # prefetch kernel is unsupported). Only the "auto" default is
-        # upgraded — an explicit blend_impl="xla" stays the escape hatch
-        # the RasterConfig contract promises.
-        raster_cfg = raster_cfg.replace(blend_impl="pallas")
+    # per-step re-opt always runs at full res on one view — the Pallas
+    # blend's fwd+bwd wins there (421 vs 526 ms/step at 134k gaussians).
+    # Only the "auto" default is upgraded — an explicit blend_impl="xla"
+    # stays the escape hatch the RasterConfig contract promises.
+    from gaussctrl_tpu.splat.rasterize import resolve_auto_blend
+    raster_cfg = resolve_auto_blend(raster_cfg)
     opt_state = init_optimizer_state(scene, train_cfg)
     cam_deltas = cam_opt_state = None
     if train_cfg.use_camera_opt:

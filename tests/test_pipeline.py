@@ -155,3 +155,26 @@ def test_pipeline_reoptimize_improves_loss():
     pipe.edited = pipe.unedited  # no-op edit: re-opt against the renders
     m = pipe.reoptimize(num_steps=5)
     assert np.isfinite(float(m["loss"]))
+
+
+@pytest.mark.slow
+def test_render_reverse_pallas_lane_matches_vmap():
+    """The single-chip Pallas render lane (lax.map over single-view kernel
+    calls, taken when blend_impl resolves to 'pallas' with no mesh) must
+    produce the same renders as the default vmapped XLA path (VERDICT r2 #5:
+    render_reverse over 40 views should not be stuck on the slow blend)."""
+    from gaussctrl_tpu.splat.rasterize import RasterConfig
+
+    pipe_x = _setup(V=3)
+    pipe_p = _setup(V=3)
+    pipe_p.raster_cfg = RasterConfig(blend_impl="pallas")  # forces the lane
+    # share weights so the DDIM inversions agree too
+    pipe_p.params = pipe_x.params
+    pipe_x.render_reverse()
+    pipe_p.render_reverse()
+    np.testing.assert_allclose(np.asarray(pipe_p.unedited),
+                               np.asarray(pipe_x.unedited),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(pipe_p.depths),
+                               np.asarray(pipe_x.depths),
+                               rtol=2e-3, atol=2e-3)
