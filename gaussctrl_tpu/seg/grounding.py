@@ -39,9 +39,41 @@ def _resize(x: jnp.ndarray, size: int) -> jnp.ndarray:
     return jax.image.resize(x, (b, size, size, c), method="bilinear")
 
 
+def _label_components(hot: np.ndarray):
+    """4-connected component labeling on a small boolean grid (host numpy —
+    the grid is g×g ≈ 16×16 patches, a BFS is microseconds). Returns a list
+    of (ys, xs) index arrays, one per component."""
+    g_h, g_w = hot.shape
+    seen = np.zeros_like(hot, bool)
+    comps = []
+    for sy, sx in zip(*np.nonzero(hot)):
+        if seen[sy, sx]:
+            continue
+        stack = [(sy, sx)]
+        seen[sy, sx] = True
+        ys, xs = [], []
+        while stack:
+            y, x = stack.pop()
+            ys.append(y)
+            xs.append(x)
+            for ny, nx in ((y - 1, x), (y + 1, x), (y, x - 1), (y, x + 1)):
+                if 0 <= ny < g_h and 0 <= nx < g_w and hot[ny, nx] \
+                        and not seen[ny, nx]:
+                    seen[ny, nx] = True
+                    stack.append((ny, nx))
+        comps.append((np.asarray(ys), np.asarray(xs)))
+    return comps
+
+
 @dataclasses.dataclass
 class ClipBoxProposer:
-    """Text -> per-view xyxy box via CLIP patch-similarity heatmap."""
+    """Text -> boxes via CLIP patch-similarity heatmap.
+
+    Multi-detection: the thresholded heatmap is split into 4-connected
+    components, one box per component, scored by the component's peak cosine
+    similarity calibrated to [0,1] ((s+1)/2) and sorted descending — so
+    detection [0] is the best match, matching the reference pipeline's
+    `masks[0]` convention (gc_pipeline.py:151-152)."""
     vision: CLIPVisionModel
     text: CLIPTextModel
     params: dict                  # {"vision":…, "text":…, "visual_projection",
@@ -64,27 +96,63 @@ class ClipBoxProposer:
 
         self._heatmap = jax.jit(heatmap)
 
-    def __call__(self, images: jnp.ndarray, prompt: str) -> np.ndarray:
-        """images [V,H,W,3] in [0,1] -> boxes [V,4] xyxy (−1s = no match)."""
-        v, h, w, _ = images.shape
+    def _sims(self, images: jnp.ndarray, prompt: str) -> np.ndarray:
+        """Batched patch-similarity heatmaps [V, g, g] (one jit call)."""
         size = self.vision.cfg.image_size
         x = _resize(images, size)
         x = (x - CLIP_MEAN) / CLIP_STD
         ids = jnp.asarray(self.tokenizer.encode(prompt))[None]
         g = size // self.vision.cfg.patch_size
-        sim = np.asarray(self._heatmap(self.params, x, ids)).reshape(v, g, g)
+        return np.asarray(self._heatmap(self.params, x, ids)).reshape(
+            images.shape[0], g, g)
+
+    def _detections(self, s: np.ndarray, h: int, w: int):
+        """One heatmap [g,g] -> (boxes [K,4] xyxy px, scores [K] in [0,1]),
+        best first."""
+        g = s.shape[0]
+        if s.max() < self.min_score:
+            return np.zeros((0, 4), np.float32), np.zeros((0,), np.float32)
+        hot = s >= s.min() + self.rel_threshold * (s.max() - s.min())
+        boxes, scores = [], []
+        for ys, xs in _label_components(hot):
+            boxes.append([xs.min() / g * w, ys.min() / g * h,
+                          (xs.max() + 1) / g * w, (ys.max() + 1) / g * h])
+            scores.append((float(s[ys, xs].max()) + 1.0) / 2.0)
+        if not boxes:
+            return np.zeros((0, 4), np.float32), np.zeros((0,), np.float32)
+        order = np.argsort(scores)[::-1]
+        return (np.asarray(boxes, np.float32)[order],
+                np.asarray(scores, np.float32)[order])
+
+    def __call__(self, images: jnp.ndarray, prompt: str) -> np.ndarray:
+        """images [V,H,W,3] in [0,1] -> boxes [V,4] xyxy (−1s = no match).
+
+        One box per view: the BEST-scoring connected component (not the
+        bounding box of every hot patch — that merged disjoint matches into
+        one inflated box)."""
+        v, h, w, _ = images.shape
+        sim = self._sims(images, prompt)
         boxes = np.full((v, 4), -1.0, np.float32)
         for i in range(v):
-            s = sim[i]
-            if s.max() < self.min_score:
-                continue
-            hot = s >= s.min() + self.rel_threshold * (s.max() - s.min())
-            ys, xs = np.nonzero(hot)
-            if len(xs) == 0:
-                continue
-            boxes[i] = [xs.min() / g * w, ys.min() / g * h,
-                        (xs.max() + 1) / g * w, (ys.max() + 1) / g * h]
+            det, _ = self._detections(sim[i], h, w)
+            if len(det):
+                boxes[i] = det[0]
         return boxes
+
+    def predict_boxes(self, image: np.ndarray, prompt: str,
+                      box_threshold: float = 0.3,
+                      text_threshold: float = 0.25):
+        """LangSAM multi-detection contract (lang_sam.py:95-100): one image
+        [H,W,3] -> (boxes [K,4], logits [K], phrases [K]), score-filtered.
+        Scores are calibrated cosines ((s+1)/2 ∈ [0,1]) — comparable to, if
+        flatter than, GroundingDINO's sigmoid logits; text_threshold is
+        accepted for signature parity (the CLIP proposer has one phrase)."""
+        h, w, _ = image.shape
+        sim = self._sims(jnp.asarray(image)[None], prompt)[0]
+        boxes, scores = self._detections(sim, h, w)
+        keep = scores >= box_threshold
+        boxes, scores = boxes[keep], scores[keep]
+        return boxes, scores, [prompt] * len(boxes)
 
 
 class GroundedSAMMasker:
