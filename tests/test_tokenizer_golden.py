@@ -81,12 +81,9 @@ def test_bpe_truncation_keeps_final_eos(tmp_path):
 
 # Hard-coded ids from the real OpenAI CLIP / SD-1.5 tokenizer
 # (openai/clip-vit-large-patch14 vocab.json + merges.txt). Validated
-# automatically on the first machine that has real weights on disk.
-REAL_GOLDENS = {
-    "a photo of a cat": [49406, 320, 1125, 539, 320, 2368, 49407],
-    "a photo of a dog": [49406, 320, 1125, 539, 320, 1929, 49407],
-    "": [49406, 49407],
-}
+# automatically on the first machine that has real weights on disk —
+# the same goldens drive `python -m gaussctrl_tpu.cli.certify`.
+from gaussctrl_tpu.certify import TOKENIZER_GOLDENS as REAL_GOLDENS
 
 
 def _find_real_tokenizer():
