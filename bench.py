@@ -130,6 +130,11 @@ def main():
             "edit_batch_cfg_doubled": 2 * b_edit,
             "ddim_steps": steps,
             "device": str(jax.devices()[0]),
+            # attention-routing knobs, so A/B runs are self-describing
+            "flash_env": __import__("os").environ.get("GAUSSCTRL_FLASH",
+                                                      "auto"),
+            "flash_max_tk": __import__("os").environ.get(
+                "GAUSSCTRL_FLASH_MAX_TK", "2048"),
         },
     }))
 

@@ -21,7 +21,6 @@ reference K/V — the collective form of utils.py:25-37's in-batch gather.
 from __future__ import annotations
 
 import dataclasses
-import os
 
 import jax
 import jax.numpy as jnp
@@ -58,15 +57,6 @@ class CrossViewAttnProcessor:
         g, r = self.cfg_groups, self.num_refs
         f = b // g
         assert b % g == 0 and r <= f, (b, g, r)
-
-        if os.environ.get("GAUSSCTRL_FUSED_XVIEW") == "1" and _use_flash(t, t):
-            # experimental fused Pallas path (self + all ref branches in one
-            # kernel). Measured SLOWER than the routed paths below on v5e at
-            # the reference operating point — opt-in until the K/V streaming
-            # schedule is fixed.
-            from gaussctrl_tpu.ops.crossview_attention import crossview_attention
-            return crossview_attention(q, k, v, r, self.self_attn_coeff,
-                                       g, heads)
 
         out = 0.0
         if self.self_attn_coeff != 0.0:

@@ -2,9 +2,17 @@
 
 The einsum attention in diffusion/nn.py materializes [B, h, Tq, Tk] score
 tensors in HBM (several GB of traffic per 4096-token UNet layer at the
-reference edit batch); this kernel keeps the online-softmax running state in
-VMEM and streams K/V blocks through — the standard flash-attention scheme as
-a Pallas grid over (batch·heads, query blocks).
+reference edit batch); these kernels keep scores in VMEM. Two schedules,
+auto-selected by VMEM footprint:
+
+  * single-shot (`_attn_kernel_full`): the whole [bq, Tk] score panel lives
+    in VMEM — one QK^T, one softmax, one full-depth PV matmul. Optimal at
+    the SD shapes (Tk ≤ 4096, head_dim ≤ 160), where K/V fit VMEM anyway
+    and the online-softmax rescale chain is pure overhead.
+  * streaming (`_flash_kernel`): online softmax over K/V blocks — the
+    standard flash-attention scheme, for K/V too long to hold scores.
+
+Both run as a Pallas grid over (batch·heads, query blocks).
 
 Inference-only (the editing pipeline never differentiates through the UNet —
 re-optimization differentiates the splat renderer instead, SURVEY.md §3.1);
@@ -70,16 +78,47 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, tk_real: int,
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
+def _attn_kernel_full(q_ref, k_ref, v_ref, o_ref, *, tk_real: int,
+                      scale: float):
+    """Single-shot in-VMEM softmax: scores [bq, Tk_pad] never leave VMEM.
+
+    For the SD operating shapes (Tk ≤ 4096, head_dim ≤ 160) the WHOLE K/V
+    block already fits in VMEM, so the online-softmax block loop only adds
+    per-block rescale traffic (acc·alpha chains) and short-depth MXU calls;
+    one full score panel + one max/exp/sum + one depth-Tk PV matmul is
+    strictly less work. Selected by flash_attention when the score panel
+    fits the VMEM budget; the streaming kernel remains for longer K/V."""
+    tk_pad = k_ref.shape[1]
+    s = jax.lax.dot_general(
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale          # [bq, tk_pad]
+    kpos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(kpos < tk_real, s, _NEG_INF)
+    m = s.max(axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = p.sum(axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[0] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("heads", "block_q", "block_k", "interpret"))
+                   static_argnames=("heads", "block_q", "block_k",
+                                    "interpret", "kernel"))
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     heads: int, block_q: int = 256, block_k: int = 512,
-                    interpret: bool = False) -> jnp.ndarray:
-    """Drop-in for diffusion.nn.attention: q [B,Tq,C], k/v [B,Tk,C] -> [B,Tq,C]."""
+                    interpret: bool = False,
+                    kernel: str = "auto") -> jnp.ndarray:
+    """Drop-in for diffusion.nn.attention: q [B,Tq,C], k/v [B,Tk,C] -> [B,Tq,C].
+
+    kernel: "full" = single-shot in-VMEM softmax, "stream" = online-softmax
+    K/V block loop, "auto" = full when the score panel fits the VMEM budget.
+    """
     b, tq, c = q.shape
     tk = k.shape[1]
     d = c // heads
@@ -99,10 +138,18 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     kh = split(k, tk, tk_pad)
     vh = split(v, tk, tk_pad)
 
-    kernel = functools.partial(_flash_kernel, block_k=bk, tk_real=tk,
-                               scale=scale)
+    # single-shot kernel when the f32 score panel fits comfortably in VMEM
+    # alongside q/k/v blocks (~16MB scoped budget); else stream K/V blocks
+    vmem_bytes = (bq * tk_pad * 4                      # score panel (f32)
+                  + (bq + 2 * tk_pad) * d_pad * q.dtype.itemsize)
+    if kernel == "full" or (kernel == "auto"
+                            and vmem_bytes <= 8 * 1024 * 1024):
+        body = functools.partial(_attn_kernel_full, tk_real=tk, scale=scale)
+    else:
+        body = functools.partial(_flash_kernel, block_k=bk, tk_real=tk,
+                                 scale=scale)
     out = pl.pallas_call(
-        kernel,
+        body,
         grid=(b * heads, tq_pad // bq),
         in_specs=[
             pl.BlockSpec((1, bq, d_pad), lambda bb, i: (bb, i, 0),

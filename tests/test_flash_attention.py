@@ -23,19 +23,20 @@ def _oracle(q, k, v, heads):
     return jnp.einsum("bhqk,bkhd->bqhd", w, vh).reshape(b, tq, c)
 
 
+@pytest.mark.parametrize("kernel", ["full", "stream"])
 @pytest.mark.parametrize("b,tq,tk,c,heads", [
     (2, 64, 64, 16, 2),        # tiny, blocks > T (padding path)
     (1, 300, 300, 32, 4),      # non-multiple T (tail masking)
     (2, 64, 128, 16, 2),       # cross-attention Tq != Tk
 ])
-def test_flash_matches_oracle(b, tq, tk, c, heads):
+def test_flash_matches_oracle(b, tq, tk, c, heads, kernel):
     key = jax.random.PRNGKey(0)
     kq, kk, kv = jax.random.split(key, 3)
     q = jax.random.normal(kq, (b, tq, c))
     k = jax.random.normal(kk, (b, tk, c))
     v = jax.random.normal(kv, (b, tk, c))
     out = flash_attention(q, k, v, heads, block_q=64, block_k=128,
-                          interpret=True)
+                          interpret=True, kernel=kernel)
     ref = _oracle(q, k, v, heads)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
