@@ -123,3 +123,21 @@ def test_import_splatfacto_ckpt(tmp_path):
     np.testing.assert_allclose(
         np.asarray(scene.means), state["_model.gauss_params.means"].numpy(), rtol=1e-6
     )
+
+
+def test_bundled_example_scene_parses():
+    """The vendored data/example_scene (scripts/make_example_scene.py) obeys
+    the dataparser contract end-to-end: frames, intrinsics, sparse points —
+    so every CLI is demoable without external data (the reference bundles
+    real captures under data/; SURVEY §2.1 row 13)."""
+    from gaussctrl_tpu.data.dataparser import DataparserConfig, parse_dataset
+
+    cfg = DataparserConfig(data="data/example_scene")
+    out = parse_dataset(cfg)
+    assert len(out.image_filenames) == 12
+    assert out.width == out.height == 200
+    assert out.points_xyz is not None and len(out.points_xyz) == 2600
+    assert out.points_rgb is not None
+    import cv2
+    img = cv2.imread(str(out.image_filenames[0]))
+    assert img is not None and img.shape == (200, 200, 3)
