@@ -47,6 +47,23 @@ class UNetConfig:
             norm_num_groups=8,
         )
 
+    @classmethod
+    def nano(cls) -> "UNetConfig":
+        """Full sd15 TOPOLOGY at minimum width: all four resolution levels
+        with sd15's attention pattern, so at sample_size 64 the attention
+        token ladder is the production 4096/1024/256/64 — the shapes that
+        drive flash-vs-einsum routing and the cross-view K/V allgather
+        layout. Used by dryrun_multichip to catch sharding-vs-architecture
+        interactions the 2-block tiny() config cannot (VERDICT r2 #10)."""
+        return cls(
+            block_out_channels=(16, 16, 32, 32),
+            layers_per_block=1,
+            down_block_attn=(True, True, True, False),
+            num_heads=2,
+            cross_attention_dim=32,
+            norm_num_groups=8,
+        )
+
 
 @dataclasses.dataclass(frozen=True)
 class ControlNetConfig:
@@ -62,6 +79,10 @@ class ControlNetConfig:
     @classmethod
     def tiny(cls) -> "ControlNetConfig":
         return cls(unet=UNetConfig.tiny(), cond_embed_channels=(8, 8, 16, 16))
+
+    @classmethod
+    def nano(cls) -> "ControlNetConfig":
+        return cls(unet=UNetConfig.nano(), cond_embed_channels=(8, 8, 16, 16))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -122,3 +143,11 @@ class SDConfig:
     def tiny(cls) -> "SDConfig":
         return cls(unet=UNetConfig.tiny(), controlnet=ControlNetConfig.tiny(),
                    vae=VAEConfig.tiny(), text=CLIPTextConfig.tiny(), sample_size=8)
+
+    @classmethod
+    def nano(cls) -> "SDConfig":
+        """sd15 topology (4 levels, production 64x64 latent geometry) at
+        minimum width — see UNetConfig.nano()."""
+        return cls(unet=UNetConfig.nano(), controlnet=ControlNetConfig.nano(),
+                   vae=VAEConfig.tiny(), text=CLIPTextConfig.tiny(),
+                   sample_size=64)
