@@ -107,6 +107,19 @@ def main():
     inv = jax.jit(lambda p, l, c, d: invert(models, p, sched, l, c, d, steps))
     t_inv = _timeit(inv, params, lat, ctx, disp)
 
+    def _flops(jitted, *args):
+        """XLA's own FLOP count for the compiled scan (host-side analysis)."""
+        try:
+            ca = jitted.lower(*args).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            return float(ca.get("flops", 0.0))
+        except Exception:  # noqa: BLE001 - analysis is best-effort
+            return 0.0
+
+    PEAK_BF16 = 197e12  # TPU v5e MXU peak, bf16
+    f_inv = _flops(inv, params, lat, ctx, disp)
+
     # edit: 20-step CFG denoise scan, [4 refs | 3 chunk views]
     b_edit = refs + chunk
     lat, ctx, disp = batch(b_edit)
@@ -115,6 +128,7 @@ def main():
         unet_processor=CrossViewAttnProcessor(refs, 0.6, 2),
         controlnet_processor=CrossViewAttnProcessor(refs, 0.0, 2)))
     t_edit = _timeit(edit, params, lat, ctx, ctx, disp)
+    f_edit = _flops(edit, params, lat, ctx, ctx, disp)
 
     views_per_sec = 1.0 / (t_inv / b_inv + t_edit / chunk)
 
@@ -129,6 +143,10 @@ def main():
             "t_edit_scan_s": round(t_edit, 4),
             "edit_batch_cfg_doubled": 2 * b_edit,
             "ddim_steps": steps,
+            # single-chip MFU from XLA's compiled-module FLOP counts
+            # against the v5e bf16 peak (197 TFLOP/s)
+            "mfu_invert": round(f_inv / t_inv / PEAK_BF16, 4) if f_inv else None,
+            "mfu_edit": round(f_edit / t_edit / PEAK_BF16, 4) if f_edit else None,
             "device": str(jax.devices()[0]),
             # attention-routing knobs, so A/B runs are self-describing
             "flash_env": __import__("os").environ.get("GAUSSCTRL_FLASH",
