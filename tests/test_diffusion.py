@@ -226,3 +226,23 @@ def test_invert_denoise_pipeline_smoke(tiny):
         unet_processor=CrossViewAttnProcessor(nrefs, 0.6, cfg_groups=2),
         controlnet_processor=CrossViewAttnProcessor(nrefs, 0.0, cfg_groups=2))
     assert out.shape == lat.shape and np.isfinite(np.asarray(out)).all()
+
+
+def test_nano_config_production_token_ladder():
+    """SDConfig.nano() must keep sd15's TOPOLOGY (the attention token ladder
+    4096/1024/256/64 at 64x64 latents) — it is the dryrun_multichip stage
+    that certifies sharding at production attention geometry, and must not
+    drift to a shape that no longer exercises the 4096-token routing split."""
+    from gaussctrl_tpu.diffusion.config import SDConfig
+
+    ncfg = SDConfig.nano()
+    s = ncfg.sample_size
+    assert s == 64  # 512px images -> 64x64 latents, as in production
+    sd15 = SDConfig.sd15()
+    assert ncfg.unet.down_block_attn == sd15.unet.down_block_attn
+    assert len(ncfg.unet.block_out_channels) == \
+        len(sd15.unet.block_out_channels)
+    # token counts at each attention level (stride doubles per level)
+    ladder = [(s // (2 ** i)) ** 2
+              for i, a in enumerate(ncfg.unet.down_block_attn) if a]
+    assert ladder == [4096, 1024, 256]
