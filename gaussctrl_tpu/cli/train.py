@@ -174,6 +174,27 @@ def main(argv=None):
     log(f"total wall-clock {timings['total_s']}s")
     # phase timings as a committed-artifact record (VERDICT r1 #2)
     (out_dir / "timings.json").write_text(json.dumps(timings, indent=2))
+
+    # renders of the RE-OPTIMIZED scene (what the reference inspects via
+    # ns-gaussctrl-render after training) — up to 8 evenly-spaced views
+    import jax.numpy as jnp
+
+    from gaussctrl_tpu.splat.render import render_rgbd
+    from gaussctrl_tpu.splat.rasterize import resolve_auto_blend
+    cams = dm.cameras
+    idx = np.linspace(0, len(cams) - 1, min(8, len(cams))).astype(int)
+    rc1 = resolve_auto_blend(rcfg)
+    fr = out_dir / "final_renders"
+    fr.mkdir(exist_ok=True)
+    from PIL import Image
+    for i in idx:
+        c = cams[int(i)]
+        out = render_rgbd(pipe.scene, c.c2w, c.fx, c.fy, c.cx, c.cy,
+                          cams.width, cams.height, jnp.zeros(3),
+                          cfg=rc1)
+        arr = np.asarray(np.clip(out["rgb"], 0, 1) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(fr / f"{int(i):05d}.png")
+    log(f"final re-optimized renders -> {fr}")
     return out_dir
 
 

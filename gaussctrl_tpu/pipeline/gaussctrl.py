@@ -186,6 +186,32 @@ class GaussCtrlPipeline:
         nd = self.mesh.devices.size
         return -(-n // nd) * nd
 
+    def _diffusion_hw(self) -> tuple[int, int]:
+        """Image resolution the diffusion stack runs at: camera resolution
+        rounded UP to the stack's divisibility requirement — the VAE's 8x
+        downsample times the UNet's 2^(levels-1) skip alignment (64 for
+        sd15). The reference sidesteps this by REQUIRING 512x512 inputs
+        (README.md:95, gc_pipeline.py:132); here arbitrary-resolution
+        scenes edit by resizing into and out of the diffusion stack, and
+        the reference's 512x512 contract passes through untouched."""
+        div = 8 * 2 ** (len(self.models.cfg.unet.block_out_channels) - 1)
+        h, w = self.cameras.height, self.cameras.width
+        return -(-h // div) * div, -(-w // div) * div
+
+    def _to_diffusion_res(self, x: jnp.ndarray) -> jnp.ndarray:
+        rh, rw = self._diffusion_hw()
+        if tuple(x.shape[1:3]) == (rh, rw):
+            return x
+        return jax.image.resize(x, (x.shape[0], rh, rw, x.shape[3]),
+                                "bilinear").astype(x.dtype)
+
+    def _from_diffusion_res(self, x: jnp.ndarray) -> jnp.ndarray:
+        h, w = self.cameras.height, self.cameras.width
+        if tuple(x.shape[1:3]) == (h, w):
+            return x
+        return jax.image.resize(x, (x.shape[0], h, w, x.shape[3]),
+                                "bilinear").astype(x.dtype)
+
     def load_artifacts(self, train_data) -> bool:
         """Adopt precomputed edit artifacts from a datamanager's train_data
         (the resume path: the dataparser auto-discovers unedited/ depth_npy/
@@ -285,8 +311,8 @@ class GaussCtrlPipeline:
         for lo in range(0, V, bs):
             hi = min(lo + bs, V)
             n = hi - lo
-            imgs = _pad_to(self.unedited[lo:hi], bs)
-            disp = _pad_to(self.disparity[lo:hi], bs)
+            imgs = _pad_to(self._to_diffusion_res(self.unedited[lo:hi]), bs)
+            disp = _pad_to(self._to_diffusion_res(self.disparity[lo:hi]), bs)
             z0 = enc(self.params, self._shard(imgs))
             zT = inv(self.params, z0, self._ctx(reverse, bs), self._shard(disp))
             zs.append(zT[:n])
@@ -331,6 +357,9 @@ class GaussCtrlPipeline:
             return _run_batch(self.params, z, disp, self._ctx(edit_prompt, b),
                               self._ctx(NEGATIVE_PROMPT, b), nrefs)
 
+        # the ControlNet hint must match the latent geometry, not the camera
+        # geometry (no-op at the reference's 512x512 contract)
+        disparity_d = self._to_diffusion_res(self.disparity)
         edited_lat = [None] * V
         if cfg.chunk_size <= 0:
             # all views at once, refs first, view axis sharded over the mesh;
@@ -339,7 +368,7 @@ class GaussCtrlPipeline:
             order = refs + others
             order_pad = order + [order[-1]] * (self._round_up_views(V) - V)
             z = self._shard(self.z_T[np.asarray(order_pad)])
-            disp = self._shard(self.disparity[np.asarray(order_pad)])
+            disp = self._shard(disparity_d[np.asarray(order_pad)])
             out = run_batch(z, disp, R)
             for pos, i in enumerate(order):
                 edited_lat[i] = out[pos]
@@ -348,13 +377,13 @@ class GaussCtrlPipeline:
         else:
             # reference-style chunking: refs prepended to every chunk
             ref_z = self.z_T[np.asarray(refs)]
-            ref_disp = self.disparity[np.asarray(refs)]
+            ref_disp = disparity_d[np.asarray(refs)]
             for lo in range(0, len(others), cfg.chunk_size):
                 chunk = others[lo: lo + cfg.chunk_size]
                 chunk_pad = chunk + [others[-1]] * (cfg.chunk_size - len(chunk))
                 z = jnp.concatenate([ref_z, self.z_T[np.asarray(chunk_pad)]])
                 disp = jnp.concatenate([ref_disp,
-                                        self.disparity[np.asarray(chunk_pad)]])
+                                        disparity_d[np.asarray(chunk_pad)]])
                 out = run_batch(z, disp, R)
                 for pos, i in enumerate(chunk):
                     edited_lat[i] = out[R + pos]
@@ -367,6 +396,7 @@ class GaussCtrlPipeline:
 
         imgs = jax.jit(lambda p, z: vae_decode(self.models, p, z))(
             self.params, lat)
+        imgs = self._from_diffusion_res(imgs)
         # mask compositing: edit foreground over unedited background
         # (gc_pipeline.py:223-234)
         m = self.masks

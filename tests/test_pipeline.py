@@ -178,3 +178,20 @@ def test_render_reverse_pallas_lane_matches_vmap():
     np.testing.assert_allclose(np.asarray(pipe_p.depths),
                                np.asarray(pipe_x.depths),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_pipeline_non_divisible_resolution_edits():
+    """Scenes whose resolution is NOT a multiple of the diffusion stack's
+    divisibility requirement (VAE 8x times UNet skip alignment) must still
+    edit: the pipeline resizes into/out of the stack (the reference instead
+    REQUIRES 512x512 inputs, gc_pipeline.py:132). 40x40 with the tiny
+    2-level config needs 48x48 internally."""
+    pipe = _setup(V=3, size=40, chunk_size=0)
+    rh, rw = pipe._diffusion_hw()
+    assert (rh, rw) == (48, 48)
+    pipe.render_reverse()
+    assert pipe.unedited.shape[1:3] == (40, 40)     # camera res preserved
+    assert pipe.z_T.shape[1:3] == (48 // 8, 48 // 8)  # latents at stack res
+    pipe.edit_images()
+    assert pipe.edited.shape[1:3] == (40, 40)
+    assert np.isfinite(np.asarray(pipe.edited)).all()
