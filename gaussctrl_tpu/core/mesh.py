@@ -50,9 +50,18 @@ def enable_persistent_cache(cache_dir: str | None = None) -> None:
             # indefinitely when the TPU tunnel is down
             if jax.config.jax_platforms == "cpu":
                 import hashlib
+
+                import jaxlib
                 with open("/proc/cpuinfo") as f:
                     flags = next((l for l in f if l.startswith("flags")), "")
-                tag = hashlib.sha1(flags.encode()).hexdigest()[:10]
+                # XLA:CPU AOT also bakes in backend *options* (e.g.
+                # +prefer-no-scatter) that vary with XLA_FLAGS and the
+                # jaxlib build — same-host processes with different flags
+                # otherwise cross-load each other's artifacts with a
+                # "machine feature not supported ... SIGILL" warning
+                key = flags + jaxlib.__version__ + os.environ.get(
+                    "XLA_FLAGS", "")
+                tag = hashlib.sha1(key.encode()).hexdigest()[:10]
                 cache_dir = os.path.join(cache_dir, f"cpu-{tag}")
         except Exception:
             pass
