@@ -27,6 +27,10 @@ def _load_scene(ckpt: str, args=None):
     if str(ckpt).endswith(".npz"):
         from gaussctrl_tpu.core.ckpt import load_scene_npz
         scene = load_scene_npz(ckpt)
+    elif str(ckpt).endswith(".ply"):
+        # INRIA 3DGS layout (original gaussian-splatting / ns-export)
+        from gaussctrl_tpu.data.ply import read_gaussian_ply
+        scene = read_gaussian_ply(ckpt)
     else:
         from gaussctrl_tpu.core.ckpt import import_splatfacto_ckpt
         scene = import_splatfacto_ckpt(ckpt)[0]

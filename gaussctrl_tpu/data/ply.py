@@ -98,3 +98,77 @@ def write_ply(path, points: np.ndarray, colors: np.ndarray | None = None):
             f.write(f"property {typemap[dt]} {name}\n".encode())
         f.write(b"end_header\n")
         f.write(rec.tobytes())
+
+
+def write_gaussian_ply(path, scene) -> None:
+    """Export a `GaussianScene` in the INRIA 3DGS PLY layout — the
+    interchange format every splat viewer (SuperSplat, gsplat tooling,
+    nerfstudio `ns-export gaussian-splat`) consumes.
+
+    Property order and conventions follow the original
+    gaussian-splatting `GaussianModel.save_ply`: x/y/z, zero normals,
+    f_dc_0..2, f_rest channel-major (all R coefficients, then G, then B),
+    raw logit opacity, log scales, unnormalized wxyz rotation — i.e. our
+    storage conventions verbatim (scene.py docstring)."""
+    means = np.asarray(scene.means, np.float32)
+    n = means.shape[0]
+    f_dc = np.asarray(scene.features_dc, np.float32)
+    # [N, K-1, 3] coeff-major -> [N, 3, K-1] channel-major -> flat
+    f_rest = np.asarray(scene.features_rest, np.float32)
+    k_rest = f_rest.shape[1]
+    f_rest = f_rest.transpose(0, 2, 1).reshape(n, 3 * k_rest)
+    opac = np.asarray(scene.opacities, np.float32).reshape(n)
+    scales = np.asarray(scene.scales, np.float32)
+    quats = np.asarray(scene.quats, np.float32)
+
+    names = (["x", "y", "z", "nx", "ny", "nz"]
+             + [f"f_dc_{i}" for i in range(3)]
+             + [f"f_rest_{i}" for i in range(3 * k_rest)]
+             + ["opacity"]
+             + [f"scale_{i}" for i in range(3)]
+             + [f"rot_{i}" for i in range(4)])
+    rec = np.zeros(n, dtype=np.dtype([(m, "<f4") for m in names]))
+    rec["x"], rec["y"], rec["z"] = means.T
+    for i in range(3):
+        rec[f"f_dc_{i}"] = f_dc[:, i]
+        rec[f"scale_{i}"] = scales[:, i]
+    for i in range(3 * k_rest):
+        rec[f"f_rest_{i}"] = f_rest[:, i]
+    rec["opacity"] = opac
+    for i in range(4):
+        rec[f"rot_{i}"] = quats[:, i]
+    with open(path, "wb") as f:
+        f.write(b"ply\nformat binary_little_endian 1.0\n")
+        f.write(f"element vertex {n}\n".encode())
+        for m in names:
+            f.write(f"property float {m}\n".encode())
+        f.write(b"end_header\n")
+        f.write(rec.tobytes())
+
+
+def read_gaussian_ply(path):
+    """Load an INRIA-layout 3DGS PLY as a `GaussianScene` — scenes trained
+    by the original gaussian-splatting code or exported from other tools
+    drop straight into rendering/editing."""
+    import jax.numpy as jnp
+
+    from gaussctrl_tpu.splat.scene import GaussianScene
+
+    data = read_ply(path)
+    n = data["x"].shape[0]
+    k_rest3 = len([k for k in data if k.startswith("f_rest_")])
+    assert k_rest3 % 3 == 0, k_rest3
+    k_rest = k_rest3 // 3
+    means = np.stack([data["x"], data["y"], data["z"]], 1).astype(np.float32)
+    f_dc = np.stack([data[f"f_dc_{i}"] for i in range(3)], 1).astype(np.float32)
+    f_rest = np.stack([data[f"f_rest_{i}"] for i in range(k_rest3)],
+                      1).astype(np.float32)
+    # channel-major flat -> [N, 3, K-1] -> coeff-major [N, K-1, 3]
+    f_rest = f_rest.reshape(n, 3, k_rest).transpose(0, 2, 1)
+    scales = np.stack([data[f"scale_{i}"] for i in range(3)], 1).astype(np.float32)
+    quats = np.stack([data[f"rot_{i}"] for i in range(4)], 1).astype(np.float32)
+    opac = data["opacity"].astype(np.float32).reshape(n, 1)
+    return GaussianScene(
+        means=jnp.asarray(means), scales=jnp.asarray(scales),
+        quats=jnp.asarray(quats), opacities=jnp.asarray(opac),
+        features_dc=jnp.asarray(f_dc), features_rest=jnp.asarray(f_rest))
