@@ -10,7 +10,8 @@ import argparse
 def main(argv=None):
     p = argparse.ArgumentParser(prog="gaussctrl-viewer")
     p.add_argument("--load-checkpoint", required=True,
-                   help="scene checkpoint (.npz or splatfacto .ckpt)")
+                   help="scene checkpoint (.npz / splatfacto .ckpt / "
+                        "3DGS .ply)")
     p.add_argument("--data", default=None,
                    help="scene data dir (enables train-camera markers and "
                         "exact jump-to-train-view)")
@@ -21,12 +22,8 @@ def main(argv=None):
     enable_persistent_cache()
     args = p.parse_args(argv)
 
-    if str(args.load_checkpoint).endswith(".npz"):
-        from gaussctrl_tpu.core.ckpt import load_scene_npz
-        scene = load_scene_npz(args.load_checkpoint)
-    else:
-        from gaussctrl_tpu.core.ckpt import import_splatfacto_ckpt
-        scene, _ = import_splatfacto_ckpt(args.load_checkpoint)
+    from gaussctrl_tpu.cli.render import _load_scene
+    scene = _load_scene(args.load_checkpoint)
     print(f"[viewer] {scene.num_gaussians} gaussians", flush=True)
 
     cameras = None
