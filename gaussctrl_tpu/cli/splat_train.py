@@ -86,6 +86,26 @@ def main(argv=None):
     path = save_checkpoint(out_dir / "ckpts", cfg.num_steps, scene)
     print(f"[splat-train] saved {path}", flush=True)
     writer.close()
+
+    # full-res renders of 4 evenly-spaced train views (the run record a
+    # reviewer opens; the reference relies on ns-render for this)
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from gaussctrl_tpu.splat.rasterize import resolve_auto_blend
+    from gaussctrl_tpu.splat.render import render_rgbd
+    rc1 = resolve_auto_blend(raster_cfg)
+    cams = dm.cameras
+    rd = out_dir / "final_renders"
+    rd.mkdir(exist_ok=True)
+    for i in np.linspace(0, len(cams) - 1, min(4, len(cams))).astype(int):
+        c = cams[int(i)]
+        out = render_rgbd(scene, c.c2w, c.fx, c.fy, c.cx, c.cy, cams.width,
+                          cams.height, jnp.zeros(3), cfg=rc1)
+        Image.fromarray(np.asarray(
+            np.clip(out["rgb"], 0, 1) * 255).astype(np.uint8)).save(
+                rd / f"{int(i):05d}.png")
+    print(f"[splat-train] final renders -> {rd}", flush=True)
     return path
 
 
