@@ -90,6 +90,12 @@ class RasterConfig:
     isect_divisor: int = struct.field(pytree_node=False, default=2)
     # tiles processed per blending step (memory knob)
     tile_chunk: int = struct.field(pytree_node=False, default=128)
+    # XLA-backward instance-grad emission: "loop" = per-tile read-modify-
+    # write dynamic slices (serial chain over tile_chunk); "scatter" = one
+    # unique-indices scatter per segment (valid targets are the disjoint
+    # per-tile [start, end) ranges, so the TPU scatter runs parallel).
+    # A/B'd on chip via .scratch/prof_reduce.py.
+    bwd_write: str = struct.field(pytree_node=False, default="loop")
 
 
 class _Binned(NamedTuple):
@@ -500,15 +506,28 @@ def _blend_bwd_instance_grads(binned: _Binned, xys, conics, colors, opacities,
             # XLA rewrite the whole buffer per segment — 175 ms/step at 2M
             # instances). buf carries `cap` pad rows so the window always
             # fits; ok=False rows write back what they read.
-            seg_off = jnp.minimum(start + s * cap, m_buf)
+            if cfg.bwd_write == "scatter":
+                # one parallel scatter: valid targets are unique (per-tile
+                # [start, end) buffer ranges are disjoint; `ok` masks the
+                # clamped duplicate rows), invalid rows get DISTINCT
+                # out-of-bounds targets so unique_indices holds and
+                # mode="drop" discards them
+                flat_ok = ok.reshape(-1)
+                nrows = flat_ok.shape[0]
+                oob = m_buf + cap + jnp.arange(nrows, dtype=jnp.int32)
+                tgt = jnp.where(flat_ok, pos.reshape(-1), oob)
+                buf = buf.at[tgt].set(inst.reshape(nrows, d), mode="drop",
+                                      unique_indices=True)
+            else:
+                seg_off = jnp.minimum(start + s * cap, m_buf)
 
-            def write_row(i, b):
-                blk = jax.lax.dynamic_slice_in_dim(b, seg_off[i], cap)
-                blk = jnp.where(ok[i, :, None], inst[i], blk)
-                return jax.lax.dynamic_update_slice_in_dim(
-                    b, blk, seg_off[i], 0)
+                def write_row(i, b):
+                    blk = jax.lax.dynamic_slice_in_dim(b, seg_off[i], cap)
+                    blk = jnp.where(ok[i, :, None], inst[i], blk)
+                    return jax.lax.dynamic_update_slice_in_dim(
+                        b, blk, seg_off[i], 0)
 
-            buf = jax.lax.fori_loop(0, cfg.tile_chunk, write_row, buf)
+                buf = jax.lax.fori_loop(0, cfg.tile_chunk, write_row, buf)
             return (s + 1, t_run * trans[:, -1, :],
                     q_pre + q.sum(1), buf)
 

@@ -357,3 +357,46 @@ def test_blend_deep_tiles_not_truncated(rng):
                                rtol=1e-5, atol=1e-6)
     assert float(a_b.max()) > 0.2               # real blended mass
     assert np.isfinite(np.asarray(img_s)).all()
+
+
+@pytest.mark.parametrize("cap", [48, 4])
+def test_blend_bwd_scatter_write_equals_loop(rng, cap):
+    """bwd_write="scatter" (one unique-indices scatter per segment) must
+    produce bit-identical gradients to the per-tile RMW dynamic-slice loop
+    — same instance rows, different emission path. cap=4 exercises the
+    multi-segment case."""
+    from gaussctrl_tpu.splat.rasterize import (RasterConfig, _bin_and_sort,
+                                               _blend_tiles_cv)
+
+    n, H, W = 40, 64, 96
+    xys = jnp.asarray(rng.uniform(-8, 104, (n, 2)), jnp.float32)
+    depths = jnp.asarray(rng.uniform(0.5, 8.0, (n,)), jnp.float32)
+    radii = jnp.asarray(rng.uniform(2.0, 40.0, (n,)), jnp.float32)
+    L = jnp.asarray(rng.uniform(0.05, 0.4, (n, 2)), jnp.float32)
+    co = jnp.asarray(rng.uniform(-0.9, 0.9, (n,)), jnp.float32)
+    conics = jnp.stack([L[:, 0], co * jnp.sqrt(L[:, 0] * L[:, 1]), L[:, 1]], -1)
+    colors = jnp.asarray(rng.uniform(0, 1, (n, 4)), jnp.float32)
+    opac = jnp.asarray(rng.uniform(0.1, 0.9, (n,)), jnp.float32)
+    bg = jnp.asarray(rng.uniform(0, 1, (4,)), jnp.float32)
+    base = RasterConfig(tile_capacity=cap, tile_chunk=3,
+                        max_tiles_x=8, max_tiles_y=8,
+                        small_tiles_x=2, small_tiles_y=2, large_divisor=4)
+    ntx, nty = (W + 15) // 16, (H + 15) // 16
+    binned = _bin_and_sort(xys, depths, radii, ntx, nty, base)
+    gt = jnp.asarray(rng.uniform(-1, 1, (ntx * nty, 256, 4)), jnp.float32)
+    ga = jnp.asarray(rng.uniform(-1, 1, (ntx * nty, 256)), jnp.float32)
+
+    def loss(cfg):
+        def f(xys, conics, colors, opac, bg):
+            t, a = _blend_tiles_cv(ntx, nty, cfg, binned, xys, conics,
+                                   colors, opac, bg)
+            return (t * gt).sum() + (a * ga).sum()
+        return jax.grad(f, argnums=(0, 1, 2, 3, 4))(
+            xys, conics, colors, opac, bg)
+
+    g_loop = loss(base.replace(bwd_write="loop"))
+    g_scat = loss(base.replace(bwd_write="scatter"))
+    for a, b, name in zip(g_loop, g_scat,
+                          ["xys", "conics", "colors", "opac", "bg"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
