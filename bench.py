@@ -1,18 +1,26 @@
 """Benchmark: views edited/sec at 512x512 (the BASELINE.md north star).
 
 Measures, on the real chip with the full SD-1.5 architecture (bf16, random
-weights — weights don't change FLOPs), the two production loops of the
-GaussCtrl edit at the reference operating point (chunk_size 3, 4 refs,
-20-step DDIM, CFG; BASELINE.md), exactly as the pipeline runs them — whole
-20-step `lax.scan`s, not isolated UNet evals (XLA schedules the fused scan
-~3x faster per step than a single-eval jit):
+weights — weights don't change FLOPs), the production 40-view bear edit
+exactly as the pipeline runs it — whole 20-step `lax.scan`s, not isolated
+UNet evals (XLA schedules the fused scan ~3x faster per step than a
+single-eval jit). Two modes:
 
-  t_inv  — one 20-step DDIM inversion scan over a batch of 12 views
-  t_edit — one 20-step cross-view CFG denoise scan over [4 refs | 3 views]
+  production (chunk_size=0, the sharded single-batch design): all 40 views
+    edited in ONE CFG-doubled cross-view scan ([4 refs | 36 others], b=40),
+    inversion in two b=20 scans (b=40 inversion OOMs: the no-CFG einsum
+    materializes f32 [40,8,4096,4096] scores, 21.5 GB — measured).
+    Output-identical to reference chunking (chunked == batched pinned by
+    tests/test_pipeline.py).  views/s = 40 / (2*t_inv20 + t_edit40).
 
-and derives  views/sec = 1 / (t_inv/8 + t_edit/3)
-(each inversion scan amortizes over its 8 views; each edit scan nets 3 views,
-the re-denoised refs being the reference's chunking overhead).
+  reference mode (chunk_size=3, gc_pipeline.py:190): reported in detail as
+    views_per_sec_chunk3 for like-for-like comparison.
+
+Routing note (A/B, round 3, .scratch/ab_attention_results.json): einsum
+beats the flash kernel at every SD shape measured on v5e (4096 tokens,
+chunk 3: 6.32 vs 7.25 s/scan), and einsum chunk scaling dominates both —
+per-view cost falls monotonically to the full 40-view batch (2.11 ->
+1.03 s/view).
 
 vs_baseline compares against the A5000 reference estimated from public SD-1.5
 throughput (≈5 it/s UNet+ControlNet batch1 fp16 512px, ≈0.75 it/s at batch
@@ -90,7 +98,7 @@ def main():
     params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
     sched = DDIMSchedule.sd15()
     s = cfg.sample_size
-    steps, refs, chunk = 20, 4, 3
+    steps, refs, views = 20, 4, 40
 
     def batch(n):
         lat = jax.random.normal(jax.random.PRNGKey(1), (n, s, s, 4),
@@ -98,14 +106,6 @@ def main():
         ctx = jnp.zeros((n, 77, cfg.unet.cross_attention_dim), jnp.bfloat16)
         disp = jnp.zeros((n, s * 8, s * 8, 3), jnp.bfloat16)
         return lat, ctx, disp
-
-    # inversion: 20-step scan, batch of independent views, no CFG.
-    # 12 rides the same step time as 8 on v5e (268 vs 273 ms measured) --
-    # the production render_batch default
-    b_inv = 12
-    lat, ctx, disp = batch(b_inv)
-    inv = jax.jit(lambda p, l, c, d: invert(models, p, sched, l, c, d, steps))
-    t_inv = _timeit(inv, params, lat, ctx, disp)
 
     def _flops(jitted, *args):
         """XLA's own FLOP count for the compiled scan (host-side analysis)."""
@@ -118,19 +118,36 @@ def main():
             return 0.0
 
     PEAK_BF16 = 197e12  # TPU v5e MXU peak, bf16
+
+    # inversion: 20-step scan, no CFG, b=20 (the production render_batch;
+    # b=40 OOMs under the einsum scores — module docstring)
+    b_inv = 20
+    lat, ctx, disp = batch(b_inv)
+    inv = jax.jit(lambda p, l, c, d: invert(models, p, sched, l, c, d, steps))
+    t_inv = _timeit(inv, params, lat, ctx, disp)
     f_inv = _flops(inv, params, lat, ctx, disp)
 
-    # edit: 20-step CFG denoise scan, [4 refs | 3 chunk views]
-    b_edit = refs + chunk
-    lat, ctx, disp = batch(b_edit)
-    edit = jax.jit(lambda p, l, cp, cn, d: denoise(
-        models, p, sched, l, cp, cn, d, guidance_scale=5.0, num_steps=steps,
-        unet_processor=CrossViewAttnProcessor(refs, 0.6, 2),
-        controlnet_processor=CrossViewAttnProcessor(refs, 0.0, 2)))
-    t_edit = _timeit(edit, params, lat, ctx, ctx, disp)
-    f_edit = _flops(edit, params, lat, ctx, ctx, disp)
+    def make_edit(chunk):
+        b = refs + chunk
+        lat, ctx, disp = batch(b)
+        edit = jax.jit(lambda p, l, cp, cn, d: denoise(
+            models, p, sched, l, cp, cn, d, guidance_scale=5.0,
+            num_steps=steps,
+            unet_processor=CrossViewAttnProcessor(refs, 0.6, 2),
+            controlnet_processor=CrossViewAttnProcessor(refs, 0.0, 2)))
+        return edit, (params, lat, ctx, ctx, disp)
 
-    views_per_sec = 1.0 / (t_inv / b_inv + t_edit / chunk)
+    # production mode: ONE CFG-doubled cross-view scan over all 40 views
+    edit40, args40 = make_edit(views - refs)
+    t_edit40 = _timeit(edit40, *args40)
+    f_edit40 = _flops(edit40, *args40)
+    # reference mode (chunk 3) for like-for-like comparison
+    edit3, args3 = make_edit(3)
+    t_edit3 = _timeit(edit3, *args3)
+
+    n_inv_scans = -(-views // b_inv)
+    views_per_sec = views / (n_inv_scans * t_inv + t_edit40)
+    vps_chunk3 = 1.0 / (t_inv / b_inv + t_edit3 / 3)
 
     print(json.dumps({
         "metric": "views edited/sec at 512x512",
@@ -138,15 +155,23 @@ def main():
         "unit": "views/s",
         "vs_baseline": round(views_per_sec / BASELINE_VIEWS_PER_SEC, 3),
         "detail": {
+            "mode": "chunk0 single-batch (output-identical to reference "
+                    "chunking; tests/test_pipeline.py)",
             "t_invert_scan_s": round(t_inv, 4),
             "inversion_batch": b_inv,
-            "t_edit_scan_s": round(t_edit, 4),
-            "edit_batch_cfg_doubled": 2 * b_edit,
+            "t_edit40_scan_s": round(t_edit40, 4),
+            "edit_batch_cfg_doubled": 2 * views,
+            "t_edit_chunk3_scan_s": round(t_edit3, 4),
+            "views_per_sec_chunk3": round(vps_chunk3, 4),
             "ddim_steps": steps,
             # single-chip MFU from XLA's compiled-module FLOP counts
-            # against the v5e bf16 peak (197 TFLOP/s)
-            "mfu_invert": round(f_inv / t_inv / PEAK_BF16, 4) if f_inv else None,
-            "mfu_edit": round(f_edit / t_edit / PEAK_BF16, 4) if f_edit else None,
+            # against the v5e bf16 peak (197 TFLOP/s). cost_analysis counts
+            # a lax.scan body ONCE (verified: identical flops for 1- and
+            # 4-step scans), so scale by the DDIM step count.
+            "mfu_invert": round(steps * f_inv / t_inv / PEAK_BF16, 4)
+                          if f_inv else None,
+            "mfu_edit": round(steps * f_edit40 / t_edit40 / PEAK_BF16, 4)
+                        if f_edit40 else None,
             "device": str(jax.devices()[0]),
             # attention-routing knobs, so A/B runs are self-describing
             "flash_env": __import__("os").environ.get("GAUSSCTRL_FLASH",

@@ -42,9 +42,14 @@ def _use_flash(tq: int, tk: int, head_dim: int = 128) -> bool:
         return False
     if flag == "1":
         return True
-    # the 2048 cap predates the bf16-matmul flash kernel (round 2) — the
-    # einsum path's f32 [B,h,4096,4096] scores are ~11 GB of HBM traffic per
-    # layer at batch 8; override the cap for A/B until re-measured:
+    # Re-measured on a free v5e (round 3, .scratch/ab_attention_results
+    # .json): einsum WINS at 4096 tokens even against the single-shot
+    # in-VMEM flash schedule (20-step edit scan 6.32 s vs 7.25 s at B=14)
+    # — XLA's fused softmax never materializes the full score tensor, and
+    # the depth-40 QK^T contraction runs better as one large MXU einsum
+    # than as the kernel's per-block matmuls. The 2048 cap stands; flash
+    # still carries the ≤2048 levels (where it measured ahead in r1) and
+    # any batch too large for the einsum path's working set:
     max_tk = int(os.environ.get("GAUSSCTRL_FLASH_MAX_TK", "2048"))
     return (jax.default_backend() == "tpu" and tq >= 256 and tk >= 256
             and tk <= max_tk and head_dim <= 128)

@@ -66,11 +66,12 @@ class GaussCtrlConfig:
     self_attn_coeff: float = 0.6
     conditioning_scale: float = 1.0
     seed: int = 13789
-    # views per render/invert batch. 12 measured at the same DDIM step time
-    # as 8 on v5e (268 vs 273 ms — the marginal views ride the same MXU
-    # tiles), i.e. 33.5 -> 22.8 ms/view inversion for free; 16+ scales
-    # linearly again
-    render_batch: int = 12
+    # views per render/invert batch. Inversion per-view cost on v5e falls
+    # with batch to a plateau (r3 sweep: 0.453 s/view at b=12, 0.448 at
+    # b=20); b=40 OOMs — the no-CFG einsum materializes f32
+    # [40,8,4096,4096] scores (21.5 GB). 20 also packs the 40-view
+    # production flow into exactly two scans.
+    render_batch: int = 20
     # EasyInv inversion refinement (arXiv 2408.05159): 0 = off (exact
     # reference behavior); ~0.85 blends each high-noise iterate with the
     # previous one for a tighter invert->denoise round trip
