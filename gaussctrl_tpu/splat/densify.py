@@ -280,9 +280,17 @@ def refine(scene: GaussianScene, state: DensifyState, key: jax.Array,
         opacities=jnp.where(dead[:, None], -15.0, scene3.opacities),
         scales=jnp.where(dead[:, None], -15.0, scene3.scales),
     )
+    n_born = born1.sum() + born2.sum() + born3.sum()
     stats = {"n_alive": new_alive.sum(), "n_split": n_split,
              "n_dup": dup_mask.sum(), "n_cull": cull_mask.sum(),
-             "n_born": born1.sum() + born2.sum() + born3.sum()}
+             "n_born": n_born,
+             # candidates that found no free slot — nonzero means the
+             # buffer is at capacity and growth is being throttled to the
+             # cull rate (n_dup counts CANDIDATES, n_born PLACEMENTS; the
+             # r3 bear run silently starved at capacity_mult*seed until
+             # this gap was noticed in the logs)
+             "n_unplaced": jnp.maximum(2 * n_split + dup_mask.sum()
+                                       - n_born, 0)}
     fresh = DensifyState(alive=new_alive,
                          grad_accum=jnp.zeros((cap,), jnp.float32),
                          grad_count=jnp.zeros((cap,), jnp.float32),
