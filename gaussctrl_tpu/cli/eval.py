@@ -27,9 +27,14 @@ def _load_images(d: Path) -> np.ndarray:
 
 def main(argv=None):
     p = argparse.ArgumentParser(prog="gaussctrl-eval")
-    p.add_argument("--edited", required=True, help="dir of edited renders")
+    p.add_argument("--run", default=None,
+                   help="a gaussctrl run directory: reads edited/unedited "
+                        "dirs and both prompts from its config.json and "
+                        "writes eval_metrics.json back into the run — the "
+                        "mistake-proof invocation")
+    p.add_argument("--edited", default=None, help="dir of edited renders")
     p.add_argument("--original", default=None, help="dir of unedited renders")
-    p.add_argument("--edit-prompt", required=True)
+    p.add_argument("--edit-prompt", default=None)
     p.add_argument("--reverse-prompt", default=None)
     p.add_argument("--clip-ckpt", default="",
                    help="local HF CLIPModel dir (random towers if omitted — "
@@ -37,6 +42,18 @@ def main(argv=None):
     from gaussctrl_tpu.core.mesh import enable_persistent_cache
     enable_persistent_cache()
     args = p.parse_args(argv)
+
+    if args.run:
+        run = Path(args.run)
+        cfg = json.loads((run / "config.json").read_text())
+        pipe = cfg.get("pipeline", cfg)
+        args.edited = args.edited or str(run / "edited")
+        if (run / "unedited").is_dir():
+            args.original = args.original or str(run / "unedited")
+        args.edit_prompt = args.edit_prompt or pipe["edit_prompt"]
+        args.reverse_prompt = args.reverse_prompt or pipe.get("reverse_prompt")
+    if not args.edited or not args.edit_prompt:
+        p.error("--edited and --edit-prompt are required unless --run is given")
 
     from gaussctrl_tpu.metrics import (
         CLIPScorer, clip_directional_similarity, clip_similarity,
@@ -54,6 +71,8 @@ def main(argv=None):
         out["clip_directional_similarity"] = clip_directional_similarity(
             scorer, edited, original, args.edit_prompt, args.reverse_prompt)
     print(json.dumps(out))
+    if args.run:
+        (Path(args.run) / "eval_metrics.json").write_text(json.dumps(out))
     return out
 
 

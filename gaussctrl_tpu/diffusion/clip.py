@@ -16,6 +16,7 @@ import functools
 import gzip
 import json
 import os
+import zlib
 from typing import List, Optional
 
 import jax.numpy as jnp
@@ -254,17 +255,27 @@ class CLIPTokenizer:
 
 
 class HashTokenizer:
-    """Deterministic fallback tokenizer for weight-free tests (no vocab files)."""
+    """Deterministic fallback tokenizer for weight-free tests (no vocab files).
+
+    Mirrors the real CLIP vocab's layout — BOS/EOS are the two HIGHEST ids
+    (49406/49407 in the real vocab) — so `CLIPTextModel.embed`'s HF-style
+    ``argmax(ids)`` pooling lands on the first EOS. Word ids come from CRC32,
+    which is stable across processes (Python's built-in ``hash`` is salted
+    per process, which made weight-free eval metrics nondeterministic and
+    could pool two different prompts at the same pre-delta position)."""
 
     def __init__(self, vocab_size: int, max_length: int = 77):
         self.vocab_size = vocab_size
         self.max_length = max_length
+        self.BOS = vocab_size - 2
+        self.EOS = vocab_size - 1
 
     def encode(self, text: str) -> np.ndarray:
         words = text.lower().split()
-        ids = [0] + [2 + (hash(w) % (self.vocab_size - 3)) for w in words]
-        ids = ids[: self.max_length - 1] + [1]
-        ids += [1] * (self.max_length - len(ids))
+        ids = [self.BOS] + [zlib.crc32(w.encode()) % (self.vocab_size - 2)
+                            for w in words]
+        ids = ids[: self.max_length - 1] + [self.EOS]
+        ids += [self.EOS] * (self.max_length - len(ids))
         return np.asarray(ids, np.int32)
 
 

@@ -92,6 +92,11 @@ def clip_directional_similarity(
     edit_prompt: str, original_prompt: str,
 ) -> float:
     """Mean cosine(image delta, caption delta) — the in2n protocol."""
+    if edited01.shape[0] != original01.shape[0]:
+        raise ValueError(
+            f"directional similarity needs paired views: got "
+            f"{edited01.shape[0]} edited vs {original01.shape[0]} original "
+            f"images (pass view-aligned directories)")
     d_img = scorer.embed_images(edited01) - scorer.embed_images(original01)
     te = scorer.embed_texts([edit_prompt, original_prompt])
     d_txt = te[0] - te[1]

@@ -115,6 +115,28 @@ def test_hash_tokenizer_deterministic_shape():
     assert np.array_equal(a, b) and a.shape == (16,)
 
 
+def test_hash_tokenizer_pools_at_first_eos():
+    """Regression: BOS/EOS must be the two highest ids (real CLIP layout) so
+    argmax(ids) pooling lands on the first EOS, AFTER every word token —
+    otherwise two prompts differing only in later words pool identically
+    and directional CLIP similarity collapses to exactly 0."""
+    tok = HashTokenizer(1000, max_length=16)
+    p1 = tok.encode("a photo of a polar bear in the forest")
+    p2 = tok.encode("a photo of a bear statue in the forest")
+    assert not np.array_equal(p1, p2)
+    for ids, n_words in ((p1, 9), (p2, 9)):
+        assert int(np.argmax(ids)) == 1 + n_words     # first EOS slot
+        assert ids[0] == tok.BOS and ids[1 + n_words] == tok.EOS
+        assert ids[1:1 + n_words].max() < tok.BOS     # words below specials
+
+    from gaussctrl_tpu.metrics import CLIPScorer
+    scorer = CLIPScorer.from_dir(None)
+    te = np.asarray(scorer.embed_texts(
+        ["a photo of a polar bear in the forest",
+         "a photo of a bear statue in the forest"]))
+    assert np.linalg.norm(te[0] - te[1]) > 1e-4
+
+
 # ---------------------------------------------------------------------------
 # DDIM alpha schedule golden (diffusers scaled_linear, SD-1.5 config)
 # ---------------------------------------------------------------------------
