@@ -104,11 +104,38 @@ def load_pytree(path, like):
 
 
 def load_scene_npz(path) -> GaussianScene:
-    """Load a GaussianScene from a `save_pytree`/`save_checkpoint` npz."""
+    """Load a GaussianScene from a `save_pytree`/`save_checkpoint` npz.
+
+    Always returns float32 leaves: checkpoints compressed for archival
+    (`compress_scene_npz`, fp16 payload) must resume with full-precision
+    optimization, and the trainers assume f32 params throughout."""
     data = np.load(path)
-    return GaussianScene(**{k: jnp.asarray(data[k]) for k in
+    return GaussianScene(**{k: jnp.asarray(data[k], dtype=jnp.float32)
+                            for k in
                             ("means", "scales", "quats", "opacities",
                              "features_dc", "features_rest")})
+
+
+def compress_scene_npz(src, dst, dtype=np.float16) -> Path:
+    """Re-encode a scene checkpoint with a reduced-precision payload.
+
+    Used to archive mid-run pre-training checkpoints in git so a later
+    round can resume without redoing the chip time (the full f32 npz of a
+    ~1M-gaussian scene is ~200 MB; fp16 + zip is ~4x smaller). `means`
+    stay f32 — position quantization visibly degrades the scene, while
+    the remaining fields tolerate half precision (they sit behind
+    exp/sigmoid/normalize reparameterizations or are SH colors).
+    """
+    data = np.load(src)
+    out = {}
+    for k in data.files:
+        arr = data[k]
+        if k != "means" and arr.dtype == np.float32:
+            arr = arr.astype(dtype)
+        out[k] = arr
+    dst = Path(dst)
+    np.savez_compressed(dst, **out)
+    return dst
 
 
 def save_checkpoint(ckpt_dir, step: int, tree, keep_only_latest: bool = True):
