@@ -22,6 +22,22 @@ from gaussctrl_tpu.data.datamanager import DataManager, DataManagerConfig
 from gaussctrl_tpu.splat.pretrain import PretrainConfig, pretrain
 
 
+def _save_ckpt(ckpt_dir, step, scene, archive: bool):
+    """Step-numbered checkpoint, optionally with a committable fp16 archive.
+
+    Archives follow the same latest-only pruning as the f32 npz: the
+    point is ONE small file a round can `git add -f` after every segment
+    (see outputs/bear_r3c/README.md for the resume recipe)."""
+    out = save_checkpoint(ckpt_dir, step, scene)
+    if archive:
+        from gaussctrl_tpu.core.ckpt import compress_scene_npz
+        arch = compress_scene_npz(out, str(out).replace(".npz", ".fp16.npz"))
+        for f in Path(ckpt_dir).glob("step-*.fp16.npz"):
+            if f != arch:
+                f.unlink()
+    return out
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="gaussctrl-splat-train",
                                 description="3DGS pre-training (splatfacto role)")
@@ -33,6 +49,11 @@ def main(argv=None):
     p.add_argument("--resume-checkpoint", default=None,
                    help="mid-run scene .npz to resume from (step parsed "
                         "from the filename; schedules continue)")
+    p.add_argument("--archive-ckpts", action="store_true",
+                   help="also write a compressed fp16 archive next to every "
+                        "mid-run checkpoint (step-*.fp16.npz, ~4x smaller; "
+                        "small enough to commit to git so the run survives "
+                        "container resets — resume accepts it directly)")
     add_dataclass_flags(p, PretrainConfig, "trainer")
     from gaussctrl_tpu.splat.rasterize import RasterConfig
     add_dataclass_flags(p, RasterConfig, "raster")
@@ -79,7 +100,8 @@ def main(argv=None):
         else np.full_like(parsed.points_xyz, 0.5),
         cfg, sh_degree=args.sh_degree, raster_cfg=raster_cfg, seed=args.seed,
         log_fn=lambda s, m: writer.write(s, m),
-        ckpt_fn=lambda s, sc: save_checkpoint(out_dir / "ckpts", s, sc),
+        ckpt_fn=lambda s, sc: _save_ckpt(out_dir / "ckpts", s, sc,
+                                         args.archive_ckpts),
         init_scene=init_scene, start_step=start_step)
     print(f"[splat-train] done in {time.time() - t0:.0f}s — "
           f"{scene.num_gaussians} gaussians", flush=True)

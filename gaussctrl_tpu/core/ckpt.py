@@ -146,7 +146,9 @@ def save_checkpoint(ckpt_dir, step: int, tree, keep_only_latest: bool = True):
     save_pytree(out, tree)
     if keep_only_latest:
         for f in ckpt_dir.glob("step-*.npz"):
-            if f != out:
+            # spare fp16 archives — they follow their own latest-only cycle
+            # (cli/splat_train._save_ckpt) and may be git-tracked
+            if f != out and not f.name.endswith(".fp16.npz"):
                 f.unlink()
     return out
 

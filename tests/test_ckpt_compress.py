@@ -58,3 +58,15 @@ def test_load_scene_npz_casts_fp16(tmp_path):
     np.savez_compressed(p, **flat)
     got = load_scene_npz(p)
     assert got.means.dtype == jnp.float32
+
+
+def test_save_ckpt_archive_cycle(tmp_path):
+    from gaussctrl_tpu.cli.splat_train import _save_ckpt
+    s = _scene(32)
+    _save_ckpt(tmp_path, 500, s, archive=True)
+    _save_ckpt(tmp_path, 1000, s, archive=True)
+    files = sorted(p.name for p in tmp_path.iterdir())
+    # latest-only for BOTH cycles; f32 prune must spare the archive
+    assert files == ["step-000001000.fp16.npz", "step-000001000.npz"]
+    got = load_scene_npz(tmp_path / "step-000001000.fp16.npz")
+    assert got.means.dtype == jnp.float32
