@@ -204,7 +204,11 @@ def latest_checkpoint(ckpt_dir) -> Path | None:
     shadow a newer orbax dir — their pruning is per-format)."""
     ckpts = list(Path(ckpt_dir).glob("step-*.npz")) + \
         list(Path(ckpt_dir).glob("step-*.orbax"))
-    return max(ckpts, key=checkpoint_step) if ckpts else None
+    # same-step tiebreak: prefer the full-precision npz over its fp16
+    # archive (both load, but f32 is the exact optimizer state)
+    return max(ckpts, key=lambda p: (checkpoint_step(p),
+                                     not p.name.endswith(".fp16.npz"))
+               ) if ckpts else None
 
 
 def checkpoint_step(path) -> int:
