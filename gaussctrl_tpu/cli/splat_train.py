@@ -22,18 +22,39 @@ from gaussctrl_tpu.data.datamanager import DataManager, DataManagerConfig
 from gaussctrl_tpu.splat.pretrain import PretrainConfig, pretrain
 
 
+def _git_tracked_archives(ckpt_dir: Path) -> set[str]:
+    """Names of fp16 archives in `ckpt_dir` that are tracked by git.
+
+    Pruning must NEVER unlink a git-tracked archive: round 3's end-of-round
+    snapshot committed the deletion of every archive precisely because the
+    latest-only cycle had already unlinked files that were in HEAD. Tracked
+    archives are retired by the committer (scripts/commit_archives.py) in
+    the same commit that adds the newer one — never by the training loop."""
+    import subprocess
+    try:
+        out = subprocess.run(
+            ["git", "ls-files", "--", "step-*.fp16.npz"],
+            capture_output=True, text=True, cwd=str(ckpt_dir), timeout=30)
+        return {Path(line).name for line in out.stdout.splitlines() if line}
+    except (OSError, subprocess.SubprocessError):
+        return set()
+
+
 def _save_ckpt(ckpt_dir, step, scene, archive: bool):
     """Step-numbered checkpoint, optionally with a committable fp16 archive.
 
-    Archives follow the same latest-only pruning as the f32 npz: the
-    point is ONE small file a round can `git add -f` after every segment
-    (see outputs/bear_r3c/README.md for the resume recipe)."""
+    Archives follow a latest-only pruning cycle EXCEPT for git-tracked
+    files (see _git_tracked_archives): the point is ONE small file a round
+    can `git add -f` after every segment (outputs/bear_r3c/README.md has
+    the resume recipe). Stale archives from a previous run can't collide:
+    out_dir is timestamped per run, so every ckpts dir starts empty."""
     out = save_checkpoint(ckpt_dir, step, scene)
     if archive:
         from gaussctrl_tpu.core.ckpt import compress_scene_npz
-        arch = compress_scene_npz(out, str(out).replace(".npz", ".fp16.npz"))
+        arch = compress_scene_npz(out, out.with_suffix(".fp16.npz"))
+        tracked = _git_tracked_archives(Path(ckpt_dir))
         for f in Path(ckpt_dir).glob("step-*.fp16.npz"):
-            if f != arch:
+            if f != arch and f.name not in tracked:
                 f.unlink()
     return out
 
@@ -105,7 +126,10 @@ def main(argv=None):
         init_scene=init_scene, start_step=start_step)
     print(f"[splat-train] done in {time.time() - t0:.0f}s — "
           f"{scene.num_gaussians} gaussians", flush=True)
-    path = save_checkpoint(out_dir / "ckpts", cfg.num_steps, scene)
+    # final save routes through _save_ckpt so --archive-ckpts covers the
+    # completed run too (the archive would otherwise stay ckpt_every stale)
+    path = _save_ckpt(out_dir / "ckpts", cfg.num_steps, scene,
+                      args.archive_ckpts)
     print(f"[splat-train] saved {path}", flush=True)
     writer.close()
 

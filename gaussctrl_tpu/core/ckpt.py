@@ -205,7 +205,8 @@ def latest_checkpoint(ckpt_dir) -> Path | None:
     ckpts = list(Path(ckpt_dir).glob("step-*.npz")) + \
         list(Path(ckpt_dir).glob("step-*.orbax"))
     # same-step tiebreak: prefer the full-precision npz over its fp16
-    # archive (both load, but f32 is the exact optimizer state)
+    # archive (both load, but f32 holds the exact full-precision params;
+    # optimizer state is not checkpointed — it restarts on resume)
     return max(ckpts, key=lambda p: (checkpoint_step(p),
                                      not p.name.endswith(".fp16.npz"))
                ) if ckpts else None

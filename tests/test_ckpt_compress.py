@@ -70,3 +70,45 @@ def test_save_ckpt_archive_cycle(tmp_path):
     assert files == ["step-000001000.fp16.npz", "step-000001000.npz"]
     got = load_scene_npz(tmp_path / "step-000001000.fp16.npz")
     assert got.means.dtype == jnp.float32
+
+
+def test_archive_prune_spares_git_tracked(tmp_path):
+    """Round-3 regression: the latest-only cycle unlinked archives that
+    were committed to git, so the end-of-round snapshot committed their
+    deletion and HEAD lost every pre-training checkpoint. Pruning must
+    never remove a git-tracked archive; retirement belongs to the
+    committer (scripts/commit_archives.py) which replaces it in the same
+    commit that adds the newer one."""
+    import subprocess
+
+    from gaussctrl_tpu.cli.splat_train import _save_ckpt
+
+    ckpts = tmp_path / "run" / "ckpts"
+    subprocess.run(["git", "init", "-q", str(tmp_path)], check=True)
+    for k, v in (("user.email", "t@t"), ("user.name", "t")):
+        subprocess.run(["git", "-C", str(tmp_path), "config", k, v],
+                       check=True)
+    s = _scene(32)
+    _save_ckpt(ckpts, 500, s, archive=True)
+    subprocess.run(["git", "-C", str(tmp_path), "add", "-f",
+                    "run/ckpts/step-000000500.fp16.npz"], check=True)
+    subprocess.run(["git", "-C", str(tmp_path), "commit", "-qm",
+                    "archive 500"], check=True)
+
+    _save_ckpt(ckpts, 1000, s, archive=True)  # untracked: pruned next cycle
+    _save_ckpt(ckpts, 1500, s, archive=True)
+    arcs = sorted(p.name for p in ckpts.glob("*.fp16.npz"))
+    assert arcs == ["step-000000500.fp16.npz", "step-000001500.fp16.npz"]
+
+    # the committer retires the tracked 500 in the same commit as 1500
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "commit_archives", "scripts/commit_archives.py")
+    ca = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ca)
+    assert ca.commit_newest(ckpts, tmp_path, "test")
+    tracked = subprocess.run(
+        ["git", "-C", str(tmp_path), "ls-files"],
+        capture_output=True, text=True, check=True).stdout.split()
+    assert tracked == ["run/ckpts/step-000001500.fp16.npz"]
+    assert not (ckpts / "step-000000500.fp16.npz").exists()
