@@ -65,7 +65,16 @@ def main(argv=None):
         "clip_similarity": clip_similarity(scorer, edited, args.edit_prompt),
         "num_views": int(edited.shape[0]),
         "real_clip_weights": bool(args.clip_ckpt),
+        # self-labeling (VERDICT r3 #6): weight-free CLIP numbers are
+        # deterministic but quality-MEANINGLESS; they must never be read as
+        # edit-quality evidence. "weights" names the ckpt when one was used.
+        "weights": args.clip_ckpt or "random",
+        "quality_meaningful": bool(args.clip_ckpt),
     }
+    if not args.clip_ckpt:
+        out["note"] = ("structural-only: CLIP towers are randomly "
+                       "initialized (no --clip-ckpt); scores are "
+                       "self-consistent, not quality evidence")
     if args.original and args.reverse_prompt:
         original = _load_images(Path(args.original))
         out["clip_directional_similarity"] = clip_directional_similarity(

@@ -51,15 +51,24 @@ class ControlNet(nn.Module):
         sample: jnp.ndarray,        # [B, h, w, 4] latent
         timesteps: jnp.ndarray,     # [B]
         context: jnp.ndarray,       # [B, T_text, D]
-        cond_image: jnp.ndarray,    # [B, H, W, 3] disparity hint in [0, 1]
+        cond_image: jnp.ndarray = None,  # [B, H, W, 3] disparity hint in [0,1]
         conditioning_scale: float = 1.0,
         processor=None,
+        hint: jnp.ndarray = None,   # precomputed CondEmbedding output
     ):
+        """`hint` (from `embed_hint`) bypasses the CondEmbedding ladder: the
+        hint is timestep-independent, so the 20-step DDIM scans compute it
+        ONCE outside the scan instead of re-running the 512px conv ladder
+        every step on the CFG-doubled batch (exact same numerics)."""
         ucfg = self.cfg.unet
         sample = sample.astype(self.dtype)
         context = context.astype(self.dtype)
-        hint = CondEmbedding(self.cfg, dtype=self.dtype, name="cond_embedding")(
-            cond_image.astype(self.dtype))
+        if hint is None:
+            hint = CondEmbedding(self.cfg, dtype=self.dtype,
+                                 name="cond_embedding")(
+                cond_image.astype(self.dtype))
+        else:
+            hint = hint.astype(self.dtype)
         mid, res_samples, _ = UNetEncoder(ucfg, dtype=self.dtype, name="encoder")(
             sample, timesteps, context, processor, extra_in=hint)
 

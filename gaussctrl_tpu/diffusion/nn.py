@@ -55,11 +55,21 @@ def _use_flash(tq: int, tk: int, head_dim: int = 128) -> bool:
             and tk <= max_tk and head_dim <= 128)
 
 
+def _scores_mb(b: int, heads: int, tq: int, tk: int) -> float:
+    """HBM footprint (MB) of the f32 score tensor the einsum path implies."""
+    return b * heads * tq * tk * 4 / 2**20
+
+
 def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, heads: int) -> jnp.ndarray:
     """Multi-head scaled dot-product attention. q [B,Tq,C], k/v [B,Tk,C]."""
-    if _use_flash(q.shape[1], k.shape[1], q.shape[2] // heads):
+    b, tq, c = q.shape
+    tk = k.shape[1]
+    if _use_flash(tq, tk, c // heads):
         from gaussctrl_tpu.ops.flash_attention import flash_attention
         return flash_attention(q, k, v, heads)
+    budget = float(os.environ.get("GAUSSCTRL_SCORES_MB", "2048"))
+    if _scores_mb(b, heads, tq, tk) > budget:
+        return attention_einsum_qblocked(q, k, v, heads, budget_mb=budget)
     return attention_einsum(q, k, v, heads)
 
 
@@ -78,6 +88,40 @@ def attention_einsum(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     w = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(v.dtype)
     out = jnp.einsum("bhqk,bkhd->bqhd", w, v, preferred_element_type=jnp.float32)
     return out.reshape(b, tq, c).astype(q.dtype)
+
+
+def attention_einsum_qblocked(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                              heads: int, budget_mb: float = 2048.0,
+                              q_block: int | None = None) -> jnp.ndarray:
+    """EXACT attention with the query axis processed in blocks.
+
+    Memory-bounded form of `attention_einsum` for big batches at 4096
+    tokens: the full-batch inversion scan (b=40, no CFG) OOMs when the
+    f32 score tensor [B,h,Tq,Tk] = 21.5 GB lands in HBM at once
+    (bench.py docstring, measured round 3; reference hot loop
+    /root/reference/gaussctrl/gc_pipeline.py:141-145). Each lax.map
+    iteration computes full softmax rows — every query block still sees
+    ALL of K — so this is bit-identical exact attention (no online
+    max/denominator rescaling like flash), just with peak score memory
+    capped at ~budget_mb. All matmuls stay large and batched for the MXU.
+    """
+    b, tq, c = q.shape
+    tk = k.shape[1]
+    if q_block is None:
+        # largest 128-multiple block whose scores fit the budget
+        q_block = int(budget_mb * 2**20 / (b * heads * tk * 4))
+        q_block = max(128, min(tq, q_block // 128 * 128))
+    if q_block >= tq:
+        return attention_einsum(q, k, v, heads)
+    nb = -(-tq // q_block)
+    pad = nb * q_block - tq
+    qp = jnp.pad(q, ((0, 0), (0, pad), (0, 0))) if pad else q
+    # [nb, B, q_block, C]: padded rows attend normally and are sliced off —
+    # softmax rows are independent, so real rows are unaffected
+    qb = qp.reshape(b, nb, q_block, c).transpose(1, 0, 2, 3)
+    out = jax.lax.map(lambda qi: attention_einsum(qi, k, v, heads), qb)
+    out = out.transpose(1, 0, 2, 3).reshape(b, nb * q_block, c)
+    return out[:, :tq]
 
 
 def timestep_embedding(t: jnp.ndarray, dim: int, flip_sin_to_cos: bool = True,

@@ -11,6 +11,7 @@ evaluation is one fused jit region per step.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Dict, Optional
 
 import jax
@@ -81,21 +82,34 @@ def vae_decode(models: SDModels, params, latents: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
 
 
+def embed_hint(models: SDModels, params, cond_image: jnp.ndarray) -> jnp.ndarray:
+    """Run the ControlNet's CondEmbedding ladder alone. The hint is
+    timestep-independent, so the DDIM scans call this ONCE and thread the
+    result through every step (the diffusers pipeline re-embeds the 512px
+    hint at each of the 20 steps on the CFG-doubled batch)."""
+    from gaussctrl_tpu.diffusion.controlnet import CondEmbedding
+    emb = CondEmbedding(models.cfg.controlnet, dtype=models.controlnet.dtype)
+    return emb.apply(
+        {"params": params["controlnet"]["cond_embedding"]},
+        cond_image.astype(models.controlnet.dtype))
+
+
 def eps_model(
     models: SDModels, params,
     latents: jnp.ndarray,          # [B, h, w, 4]
     t: jnp.ndarray,                # scalar timestep
     context: jnp.ndarray,          # [B, T, D]
-    cond_image: jnp.ndarray,       # [B, H, W, 3]
+    cond_image: jnp.ndarray = None,  # [B, H, W, 3]
     conditioning_scale: float = 1.0,
     unet_processor=None,
     controlnet_processor=None,
+    hint: jnp.ndarray = None,      # precomputed embed_hint output
 ) -> jnp.ndarray:
     """ControlNet residuals + UNet epsilon prediction for one timestep."""
     tb = jnp.broadcast_to(t, (latents.shape[0],))
     down_res, mid_res = models.controlnet.apply(
         {"params": params["controlnet"]}, latents, tb, context, cond_image,
-        conditioning_scale, controlnet_processor)
+        conditioning_scale, controlnet_processor, hint)
     return models.unet.apply(
         {"params": params["unet"]}, latents, tb, context,
         unet_processor, down_res, mid_res)
@@ -120,11 +134,17 @@ def invert(
     damps the inversion's fixed-point error without extra model evals.
     rho = 0 is the exact reference behavior."""
     ts, ts_prev = timestep_pairs(num_steps)
+    # hint hoisting: embed the (timestep-independent) hint ONCE outside the
+    # scan. GAUSSCTRL_HOIST_HINT=0 restores the per-step embedding for A/B
+    # (scripts/perf_r4_ab.py) — numerics are identical either way.
+    hoist = os.environ.get("GAUSSCTRL_HOIST_HINT", "1") != "0"
+    hint = embed_hint(models, params, cond_image) if hoist else None
+    cimg = None if hoist else cond_image
 
     def step(x, tp):
         t, t_prev = tp
-        eps = eps_model(models, params, x, t, context, cond_image,
-                        conditioning_scale)
+        eps = eps_model(models, params, x, t, context, cimg,
+                        conditioning_scale, hint=hint)
         x_new = ddim_inverse_step(sched, x, eps.astype(x.dtype), t, t_prev)
         if easyinv_rho > 0.0:
             x_new = jnp.where(t >= easyinv_t_min,
@@ -154,13 +174,25 @@ def denoise(
     ts, ts_prev = timestep_pairs(num_steps)
     guided = guidance_scale > 1.0
     context = jnp.concatenate([context_neg, context_pos]) if guided else context_pos
-    cimg = jnp.concatenate([cond_image, cond_image]) if guided else cond_image
+    # hint embedding: once (not per scan step), on the UNDOUBLED batch (both
+    # CFG halves share the hint — the reference embeds the doubled batch).
+    # GAUSSCTRL_HOIST_HINT=0 restores per-step embedding for A/B.
+    hoist = os.environ.get("GAUSSCTRL_HOIST_HINT", "1") != "0"
+    if hoist:
+        hint1 = embed_hint(models, params, cond_image)
+        hint = jnp.concatenate([hint1, hint1]) if guided else hint1
+        cimg = None
+    else:
+        hint = None
+        cimg = jnp.concatenate([cond_image, cond_image]) if guided \
+            else cond_image
 
     def step(x, tp):
         t, t_prev = tp
         xin = jnp.concatenate([x, x]) if guided else x
         eps = eps_model(models, params, xin, t, context, cimg,
-                        conditioning_scale, unet_processor, controlnet_processor)
+                        conditioning_scale, unet_processor,
+                        controlnet_processor, hint=hint)
         if guided:
             eps_u, eps_c = jnp.split(eps, 2)
             eps = eps_u + guidance_scale * (eps_c - eps_u)

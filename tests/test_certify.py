@@ -54,3 +54,40 @@ def test_certify_cli_writes_verdict(tmp_path):
     assert rc == 0                      # only alpha check ran; it passes
     v = json.loads(out.read_text())
     assert v["all_ok"] and v["checks"]["alpha_schedule"]["ok"]
+
+
+def test_mask_iou_check_plumbing():
+    """check_mask_iou runs the full text->box->mask path and scores spatial
+    agreement; with a stub masker the verdicts are calibrated: an in-box
+    mask passes, a disjoint mask fails, no-box reports its reason."""
+    from gaussctrl_tpu.certify import check_mask_iou
+
+    class StubMasker:
+        def __init__(self, box, mask_slice):
+            self._box = np.asarray(box, np.float32)
+            self._slice = mask_slice
+
+        def proposer(self, imgs, prompt):
+            return self._box[None]
+
+        def __call__(self, imgs, prompt):
+            m = np.zeros((1, 256, 256, 1), np.float32)
+            if self._slice is not None:
+                m[0][self._slice] = 1.0
+            return jnp.asarray(m)
+
+    good = check_mask_iou(masker=StubMasker(
+        [64, 64, 192, 192], (slice(72, 184), slice(72, 184), 0)))
+    assert good["ok"] and good["mask_iou"] > 0.5, good
+
+    disjoint = check_mask_iou(masker=StubMasker(
+        [64, 64, 192, 192], (slice(200, 250), slice(200, 250), 0)))
+    assert not disjoint["ok"] and disjoint["mask_iou"] == 0.0
+
+    nobox = check_mask_iou(masker=StubMasker([-1, -1, -1, -1], None))
+    assert not nobox["ok"] and nobox["reason"] == "no box proposed"
+
+
+def test_run_battery_skips_mask_iou_without_sam():
+    v = run_battery()
+    assert any("mask_iou" in s for s in v["skipped"])

@@ -48,3 +48,47 @@ def test_attention_dispatch_cpu_is_einsum():
     out = attention(q, q, q, 2)
     np.testing.assert_allclose(np.asarray(out), np.asarray(_oracle(q, q, q, 2)),
                                atol=1e-5)
+
+
+@pytest.mark.parametrize("tq,tk,q_block", [
+    (256, 256, 64),    # even split
+    (300, 256, 64),    # tail padding (300 = 4*64 + 44)
+    (256, 128, 512),   # block >= Tq: falls through to plain einsum
+])
+def test_qblocked_einsum_exact(tq, tk, q_block):
+    """Query-blocked attention is EXACT (not flash-approximate-accumulated):
+    every block computes complete softmax rows, so it must match the plain
+    einsum bitwise-tight. This is the memory-bounded path the b=40
+    inversion scan routes through (nn.attention GAUSSCTRL_SCORES_MB)."""
+    from gaussctrl_tpu.diffusion.nn import (attention_einsum,
+                                            attention_einsum_qblocked)
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(7), 3)
+    q = jax.random.normal(kq, (3, tq, 40))
+    k = jax.random.normal(kk, (3, tk, 40))
+    v = jax.random.normal(kv, (3, tk, 40))
+    out = attention_einsum_qblocked(q, k, v, 2, q_block=q_block)
+    ref = attention_einsum(q, k, v, 2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_attention_routes_qblocked_over_budget(monkeypatch):
+    """attention() must route to the q-blocked path when the implied f32
+    score tensor exceeds GAUSSCTRL_SCORES_MB, and stay exact."""
+    from gaussctrl_tpu.diffusion import nn as dnn
+    q = jax.random.normal(jax.random.PRNGKey(2), (2, 512, 32))
+    ref = dnn.attention_einsum(q, q, q, 4)
+    # 2*4*512*512*4B = 8 MB of scores; budget 1 MB forces blocking
+    monkeypatch.setenv("GAUSSCTRL_SCORES_MB", "1")
+    called = {}
+    orig = dnn.attention_einsum_qblocked
+
+    def spy(*a, **kw):
+        called["yes"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(dnn, "attention_einsum_qblocked", spy)
+    out = dnn.attention(q, q, q, 4)
+    assert called.get("yes"), "expected q-blocked routing under 1MB budget"
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-6, rtol=1e-6)

