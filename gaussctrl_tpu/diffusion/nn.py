@@ -66,7 +66,10 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, heads: int) -> jnp
     tk = k.shape[1]
     if _use_flash(tq, tk, c // heads):
         from gaussctrl_tpu.ops.flash_attention import flash_attention
-        return flash_attention(q, k, v, heads)
+        # GAUSSCTRL_FLASH_KERNEL overrides the schedule (A/B knob:
+        # "full_t" = transposed small-head_dim single shot)
+        kern = os.environ.get("GAUSSCTRL_FLASH_KERNEL", "auto")
+        return flash_attention(q, k, v, heads, kernel=kern)
     budget = float(os.environ.get("GAUSSCTRL_SCORES_MB", "2048"))
     if _scores_mb(b, heads, tq, tk) > budget:
         return attention_einsum_qblocked(q, k, v, heads, budget_mb=budget)

@@ -103,8 +103,90 @@ def _attn_kernel_full(q_ref, k_ref, v_ref, o_ref, *, tk_real: int,
     o_ref[0] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
+def _attn_kernel_full_t(q_ref, k_ref, v_ref, o_ref, *, tk_real: int,
+                        scale: float):
+    """Transposed single-shot schedule for SMALL head_dim (SD-1.5's 40/80).
+
+    The standard layouts put head_dim on the 128-lane axis, so d=40 pads to
+    128 and BOTH matmuls run at 40/128 = 31% MXU utilization — which is why
+    the r3 A/B measured the flash lane ~15% BEHIND the score-materializing
+    einsum at 4096 tokens. Here every ref keeps d on the SUBLANE axis
+    (bf16 tile: 16 sublanes -> d=40 pads to 48, a 1.2x overhead instead of
+    3.2x): q/k/v/o arrive as [1, d_pad, T], QK^T contracts the sublane
+    axis, softmax reduces over Tk-as-sublanes, and PV contracts Tk. Scores
+    still never leave VMEM.
+    """
+    s = jax.lax.dot_general(
+        k_ref[0], q_ref[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale          # [tk_pad, bq]
+    kpos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    s = jnp.where(kpos < tk_real, s, _NEG_INF)
+    m = s.max(axis=0, keepdims=True)                         # [1, bq]
+    p = jnp.exp(s - m)
+    l = p.sum(axis=0, keepdims=True)
+    o = jax.lax.dot_general(
+        v_ref[0], p.astype(v_ref.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # [d_pad, bq]
+    o_ref[0] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "block_q", "interpret"))
+def flash_attention_t(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                      heads: int, block_q: int = 256,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Transposed-layout single-shot attention (see _attn_kernel_full_t).
+
+    Same contract as flash_attention. The host-side relayout to [B·h, d, T]
+    is an O(B·T·C) HBM transpose — negligible next to the score traffic the
+    kernel saves. Intended for head_dim ≤ 64 at Tk ≤ 4096; flash_attention
+    auto-dispatches here (kernel=\"auto\") for those shapes."""
+    b, tq, c = q.shape
+    tk = k.shape[1]
+    d = c // heads
+    d_pad = _round_up(d, 16)
+    scale = 1.0 / math.sqrt(d)
+    bq = min(block_q, _round_up(tq, 128))
+    tq_pad = _round_up(tq, bq)
+    tk_pad = _round_up(tk, 128)
+
+    def split_t(x, t, t_pad):
+        x = x.reshape(b, t, heads, d).transpose(0, 2, 3, 1)  # [b, h, d, t]
+        x = x.reshape(b * heads, d, t)
+        return jnp.pad(x, ((0, 0), (0, d_pad - d), (0, t_pad - t)))
+
+    qh = split_t(q, tq, tq_pad)
+    kh = split_t(k, tk, tk_pad)
+    vh = split_t(v, tk, tk_pad)
+
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel_full_t, tk_real=tk, scale=scale),
+        grid=(b * heads, tq_pad // bq),
+        in_specs=[
+            pl.BlockSpec((1, d_pad, bq), lambda bb, i: (bb, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_pad, tk_pad), lambda bb, i: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_pad, tk_pad), lambda bb, i: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, d_pad, bq), lambda bb, i: (bb, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * heads, d_pad, tq_pad), q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * heads * tq_pad * tk_pad * d_pad,
+            bytes_accessed=(b * heads * (tq_pad + 2 * tk_pad) * d_pad
+                            * q.dtype.itemsize),
+            transcendentals=b * heads * tq_pad * tk_pad,
+        ),
+    )(qh, kh, vh)
+
+    out = out[:, :d, :tq].reshape(b, heads, d, tq).transpose(0, 3, 1, 2)
+    return out.reshape(b, tq, c)
 
 
 @functools.partial(jax.jit,
@@ -117,11 +199,16 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     """Drop-in for diffusion.nn.attention: q [B,Tq,C], k/v [B,Tk,C] -> [B,Tq,C].
 
     kernel: "full" = single-shot in-VMEM softmax, "stream" = online-softmax
-    K/V block loop, "auto" = full when the score panel fits the VMEM budget.
+    K/V block loop, "full_t" = transposed small-head_dim single shot
+    (flash_attention_t), "auto" = full when the score panel fits the VMEM
+    budget.
     """
     b, tq, c = q.shape
     tk = k.shape[1]
     d = c // heads
+    if kernel == "full_t":
+        return flash_attention_t(q, k, v, heads, block_q=block_q,
+                                 interpret=interpret)
     d_pad = _round_up(d, 128)
     scale = 1.0 / math.sqrt(d)
     bq = min(block_q, _round_up(tq, 8))

@@ -35,6 +35,15 @@ VARIANTS = [
     ("inv40_qblock_1024", {"GAUSSCTRL_SCORES_MB": "1024"}, ["inv", "40"]),
     ("inv40_qblock_512", {"GAUSSCTRL_SCORES_MB": "512"}, ["inv", "40"]),
     ("inv40_flash", {"GAUSSCTRL_FLASH": "1"}, ["inv", "40"]),
+    # transposed small-head_dim schedule: d on sublanes (pad 40->48, not
+    # 40->128) — targets the 3.2x MXU flop waste that made flash lose to
+    # einsum at 4096 tokens in the r3 A/B
+    ("inv40_flash_t", {"GAUSSCTRL_FLASH": "1",
+                       "GAUSSCTRL_FLASH_KERNEL": "full_t"}, ["inv", "40"]),
+    ("inv20_flash_t", {"GAUSSCTRL_FLASH": "1",
+                       "GAUSSCTRL_FLASH_KERNEL": "full_t"}, ["inv", "20"]),
+    ("edit40_flash_t", {"GAUSSCTRL_FLASH": "1",
+                        "GAUSSCTRL_FLASH_KERNEL": "full_t"}, ["edit", "40"]),
     ("inv20_einsum_inf", {"GAUSSCTRL_SCORES_MB": "1000000"}, ["inv", "20"]),
     ("inv20_qblock_2048", {"GAUSSCTRL_SCORES_MB": "2048"}, ["inv", "20"]),
     ("edit40_einsum_inf", {"GAUSSCTRL_SCORES_MB": "1000000"}, ["edit", "40"]),

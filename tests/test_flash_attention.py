@@ -42,6 +42,27 @@ def test_flash_matches_oracle(b, tq, tk, c, heads, kernel):
                                atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.parametrize("b,tq,tk,c,heads", [
+    (2, 64, 64, 16, 2),        # tiny (bq > Tq padding path)
+    (1, 300, 300, 32, 4),      # non-multiple T (tail masking)
+    (2, 64, 128, 16, 2),       # cross-attention Tq != Tk
+    (2, 256, 256, 80, 2),      # head_dim 40 — the SD shape this targets
+])
+def test_flash_t_matches_oracle(b, tq, tk, c, heads):
+    """Transposed small-head_dim schedule (kernel='full_t') vs the oracle:
+    d lives on sublanes (pad 40->48 instead of 40->128), scores stay in
+    VMEM; results must match plain attention."""
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(3), 3)
+    q = jax.random.normal(kq, (b, tq, c))
+    k = jax.random.normal(kk, (b, tk, c))
+    v = jax.random.normal(kv, (b, tk, c))
+    out = flash_attention(q, k, v, heads, block_q=128, interpret=True,
+                          kernel="full_t")
+    ref = _oracle(q, k, v, heads)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
 def test_attention_dispatch_cpu_is_einsum():
     """On the CPU test backend the default path must stay einsum (no pallas)."""
     q = jax.random.normal(jax.random.PRNGKey(1), (1, 512, 16))
