@@ -35,8 +35,16 @@ def _grouped_ref_attention(q, kg, vg, r, heads, flash_fn=None):
     q [B,T,C]; kg/vg [G,F,T,C]. Separated out so CPU tests can drive it with
     flash interpret mode against the einsum reference."""
     if flash_fn is None:
+        import functools
+        import os
+
         from gaussctrl_tpu.ops.flash_attention import flash_attention
-        flash_fn = flash_attention
+
+        # same A/B knob as nn.attention (full_t = transposed small-head_dim
+        # schedule); default "auto" keeps the measured r3 routing
+        flash_fn = functools.partial(
+            flash_attention,
+            kernel=os.environ.get("GAUSSCTRL_FLASH_KERNEL", "auto"))
     b, t, c = q.shape
     g, f = kg.shape[0], kg.shape[1]
     qg = q.reshape(g, f * t, c)
