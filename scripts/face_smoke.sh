@@ -14,10 +14,13 @@ DATA="${DATA:-/root/reference/data/face}"
 STEPS="${STEPS:-2000}"
 OUT="${OUT:-outputs/face_r4}"
 
-CKPT=$(python -m gaussctrl_tpu.cli.splat_train --data "$DATA" \
+python -m gaussctrl_tpu.cli.splat_train --data "$DATA" \
   --raster.isect_divisor 4 --raster.large_divisor 32 \
   --trainer.num_steps "$STEPS" --trainer.ckpt_every 1000 \
-  --output-dir "$OUT" --experiment-name splat | tail -1)
+  --output-dir "$OUT" --experiment-name splat
+# newest f32 checkpoint of the run just finished (stdout's last line is the
+# final-renders path, not the checkpoint — don't parse it)
+CKPT=$(ls "$OUT"/splat/splat/*/ckpts/step-*[0-9].npz | sort | tail -1)
 echo "pretrained: $CKPT"
 
 python -m gaussctrl_tpu.cli.train --load-checkpoint "$CKPT" \
