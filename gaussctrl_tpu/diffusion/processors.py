@@ -75,8 +75,15 @@ class CrossViewAttnProcessor:
         vg = v.reshape(g, f, t, c)
         # _use_flash carries the GAUSSCTRL_FLASH force/disable switch and the
         # measured routing rule (flash wins at 256..2048 tokens; einsum wins
-        # at 4096 where head_dim 40 limits the MXU contraction)
-        if _use_flash(f * t, t, c // heads):
+        # at 4096 where head_dim 40 limits the MXU contraction).
+        # GAUSSCTRL_REF_ATTN=flash|einsum overrides the gate for THIS branch
+        # only, so the A/B matrix can flip the ref branch independently of
+        # the self branch (scripts/perf_r4_ab.py).
+        import os
+        ref_mode = os.environ.get("GAUSSCTRL_REF_ATTN", "auto")
+        use_ref_flash = (_use_flash(f * t, t, c // heads)
+                         if ref_mode == "auto" else ref_mode == "flash")
+        if use_ref_flash:
             # Grouped ref attention: every view in a CFG group attends the
             # SAME ref K/V, so fold the view axis into the query length and
             # make one flash call per ref — the ref K/V block is fetched once

@@ -55,6 +55,18 @@ VARIANTS = [
                         "GAUSSCTRL_HOIST_HINT": "0"}, ["edit", "40"]),
     ("inv20_nohoist", {"GAUSSCTRL_SCORES_MB": "1000000",
                        "GAUSSCTRL_HOIST_HINT": "0"}, ["inv", "20"]),
+    # branch isolation (run with --only iso): edit40_flash_t flips BOTH the
+    # self branch and the grouped-ref branch to flash at once; these two
+    # flip one at a time (GAUSSCTRL_REF_ATTN overrides only the processor's
+    # ref gate) to locate where the edit lane's time actually goes.
+    ("edit40_iso_selfflasht_refeinsum",
+     {"GAUSSCTRL_FLASH": "1", "GAUSSCTRL_FLASH_KERNEL": "full_t",
+      "GAUSSCTRL_REF_ATTN": "einsum",
+      "GAUSSCTRL_SCORES_MB": "1000000"}, ["edit", "40"]),
+    ("edit40_iso_selfeinsum_refflasht",
+     {"GAUSSCTRL_FLASH": "0", "GAUSSCTRL_FLASH_KERNEL": "full_t",
+      "GAUSSCTRL_REF_ATTN": "flash",
+      "GAUSSCTRL_SCORES_MB": "1000000"}, ["edit", "40"]),
 ]
 
 WORKER = r'''

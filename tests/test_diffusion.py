@@ -185,6 +185,33 @@ def test_grouped_ref_attention_matches_einsum():
                                rtol=2e-4, atol=2e-5)
 
 
+def test_ref_attn_override_forces_einsum_branch(monkeypatch):
+    """GAUSSCTRL_REF_ATTN=einsum pins the processor's ref branch to the
+    broadcast-einsum path even when GAUSSCTRL_FLASH=1 would force the gate
+    true — the A/B isolation knob (scripts/perf_r4_ab.py) must override the
+    global force switch. self_attn_coeff=0 keeps the self branch (which
+    would route to the TPU-only pallas kernel under FLASH=1) out of play."""
+    monkeypatch.setenv("GAUSSCTRL_FLASH", "1")
+    monkeypatch.setenv("GAUSSCTRL_REF_ATTN", "einsum")
+    key = jax.random.PRNGKey(11)
+    g, f, t, c, heads, r = 2, 3, 6, 8, 2, 2
+    b = g * f
+    q, k, v = jax.random.normal(key, (3, b, t, c))
+    proc = CrossViewAttnProcessor(num_refs=r, self_attn_coeff=0.0,
+                                  cfg_groups=g)
+    out = proc(q, k, v, heads)
+    from gaussctrl_tpu.diffusion.nn import attention_einsum
+    kg = k.reshape(g, f, t, c)
+    vg = v.reshape(g, f, t, c)
+    acc = 0.0
+    for i in range(r):
+        kr = jnp.repeat(kg[:, i:i + 1], f, axis=1).reshape(b, t, c)
+        vr = jnp.repeat(vg[:, i:i + 1], f, axis=1).reshape(b, t, c)
+        acc = acc + attention_einsum(q, kr, vr, heads)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(acc / r),
+                               atol=1e-5)
+
+
 def test_easyinv_blend_only_at_high_t(tiny):
     """rho=0 is the exact reference path; rho>0 changes only the high-noise
     iterates (t >= easyinv_t_min), keeping shapes finite."""
