@@ -8,19 +8,22 @@ single-eval jit). Two modes:
 
   production (chunk_size=0, the sharded single-batch design): all 40 views
     edited in ONE CFG-doubled cross-view scan ([4 refs | 36 others], b=40),
-    inversion in two b=20 scans (b=40 inversion OOMs: the no-CFG einsum
-    materializes f32 [40,8,4096,4096] scores, 21.5 GB — measured).
+    inversion in ONE b=40 scan under the transposed `full_t` flash schedule
+    (r4 A/B, outputs/perf_r4/ab.txt: 8.99 s vs 17.9 s for the r3 2x b=20
+    einsum split — the einsum b=40 lane OOMs on its 21.5 GB f32 scores).
     Output-identical to reference chunking (chunked == batched pinned by
-    tests/test_pipeline.py).  views/s = 40 / (2*t_inv20 + t_edit40).
+    tests/test_pipeline.py).  views/s = 40 / (t_inv40 + t_edit40).
 
   reference mode (chunk_size=3, gc_pipeline.py:190): reported in detail as
     views_per_sec_chunk3 for like-for-like comparison.
 
-Routing note (A/B, round 3, .scratch/ab_attention_results.json): einsum
-beats the flash kernel at every SD shape measured on v5e (4096 tokens,
-chunk 3: 6.32 vs 7.25 s/scan), and einsum chunk scaling dominates both —
-per-view cost falls monotonically to the full 40-view batch (2.11 ->
-1.03 s/view).
+Routing note (r3 .scratch/ab_attention_results.json; r4 outputs/perf_r4/):
+routing is split by LANE — the CFG-doubled edit scan prefers einsum on both
+the self and cross-view-ref branches (iso A/B: flash_t costs +4.5..7.8
+s/scan at b=80), while the no-CFG inversion runs 2.0x faster under the
+transposed flash schedule (processors.FlashSelfAttnProcessor). Einsum chunk
+scaling carries the edit lane: per-view cost falls monotonically to the
+full 40-view batch (2.11 -> 0.93 s/view with hint hoisting).
 
 vs_baseline compares against the A5000 reference estimated from public SD-1.5
 throughput (≈5 it/s UNet+ControlNet batch1 fp16 512px, ≈0.75 it/s at batch
@@ -119,11 +122,15 @@ def main():
 
     PEAK_BF16 = 197e12  # TPU v5e MXU peak, bf16
 
-    # inversion: 20-step scan, no CFG, b=20 (the production render_batch;
-    # b=40 OOMs under the einsum scores — module docstring)
-    b_inv = 20
+    # inversion: 20-step scan, no CFG, ONE b=40 shot on the transposed
+    # flash schedule — the r4 production routing (module docstring)
+    from gaussctrl_tpu.diffusion.processors import FlashSelfAttnProcessor
+    inv_proc = FlashSelfAttnProcessor(kernel="full_t")
+    b_inv = views
     lat, ctx, disp = batch(b_inv)
-    inv = jax.jit(lambda p, l, c, d: invert(models, p, sched, l, c, d, steps))
+    inv = jax.jit(lambda p, l, c, d: invert(
+        models, p, sched, l, c, d, steps,
+        unet_processor=inv_proc, controlnet_processor=inv_proc))
     t_inv = _timeit(inv, params, lat, ctx, disp)
     f_inv = _flops(inv, params, lat, ctx, disp)
 
@@ -145,8 +152,7 @@ def main():
     edit3, args3 = make_edit(3)
     t_edit3 = _timeit(edit3, *args3)
 
-    n_inv_scans = -(-views // b_inv)
-    views_per_sec = views / (n_inv_scans * t_inv + t_edit40)
+    views_per_sec = views / (t_inv + t_edit40)
     vps_chunk3 = 1.0 / (t_inv / b_inv + t_edit3 / 3)
 
     print(json.dumps({
@@ -159,6 +165,7 @@ def main():
                     "chunking; tests/test_pipeline.py)",
             "t_invert_scan_s": round(t_inv, 4),
             "inversion_batch": b_inv,
+            "inversion_attn": "flash_full_t",
             "t_edit40_scan_s": round(t_edit40, 4),
             "edit_batch_cfg_doubled": 2 * views,
             "t_edit_chunk3_scan_s": round(t_edit3, 4),

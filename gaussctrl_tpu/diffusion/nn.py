@@ -42,14 +42,15 @@ def _use_flash(tq: int, tk: int, head_dim: int = 128) -> bool:
         return False
     if flag == "1":
         return True
-    # Re-measured on a free v5e (round 3, .scratch/ab_attention_results
-    # .json): einsum WINS at 4096 tokens even against the single-shot
-    # in-VMEM flash schedule (20-step edit scan 6.32 s vs 7.25 s at B=14)
-    # — XLA's fused softmax never materializes the full score tensor, and
-    # the depth-40 QK^T contraction runs better as one large MXU einsum
-    # than as the kernel's per-block matmuls. The 2048 cap stands; flash
-    # still carries the ≤2048 levels (where it measured ahead in r1) and
-    # any batch too large for the einsum path's working set:
+    # Measured on v5e (r3 .scratch/ab_attention_results.json; r4
+    # outputs/perf_r4/ab.txt + ab_iso.txt): at 4096 tokens the CFG-doubled
+    # edit lane prefers einsum on BOTH the self and ref branches (iso A/B:
+    # +4.5 s/scan self-flash, +6.7 s ref-flash at b=80), while the no-CFG
+    # b=40 inversion runs 2.0x faster under the transposed `full_t` flash
+    # schedule. Routing is therefore split by LANE, not by shape alone:
+    # this auto rule keeps the ≤2048 levels on flash (r1 measurement) and
+    # 4096 on einsum, and the inversion lane opts into flash explicitly
+    # via processors.FlashSelfAttnProcessor.
     max_tk = int(os.environ.get("GAUSSCTRL_FLASH_MAX_TK", "2048"))
     return (jax.default_backend() == "tpu" and tq >= 256 and tk >= 256
             and tk <= max_tk and head_dim <= 128)

@@ -55,6 +55,28 @@ def _grouped_ref_attention(q, kg, vg, r, heads, flash_fn=None):
 
 
 @dataclasses.dataclass(frozen=True)
+class FlashSelfAttnProcessor:
+    """Route plain self-attention to an explicit Pallas schedule.
+
+    The production inversion lane's processor (r4 on-chip A/B,
+    outputs/perf_r4/ab.txt): the no-CFG b=40 inversion scan runs 2.0x
+    faster under the transposed single-shot `full_t` schedule than the
+    einsum path (8.99 s vs 17.9 s for 2x b=20), while the CFG-doubled
+    edit lane measured the OPPOSITE — einsum wins there by 4.5-7.8 s/scan
+    (ab_iso.txt) — so the lanes route differently: `invert` takes this
+    processor, `denoise` keeps the einsum-routed CrossViewAttnProcessor.
+    TPU-only (Pallas); callers gate on backend.
+    """
+    kernel: str = "full_t"
+    interpret: bool = False
+
+    def __call__(self, q, k, v, heads):
+        from gaussctrl_tpu.ops.flash_attention import flash_attention
+        return flash_attention(q, k, v, heads, kernel=self.kernel,
+                               interpret=self.interpret)
+
+
+@dataclasses.dataclass(frozen=True)
 class CrossViewAttnProcessor:
     num_refs: int = 4
     self_attn_coeff: float = 0.6   # 0.6 UNet / 0.0 ControlNet

@@ -124,9 +124,15 @@ def invert(
     conditioning_scale: float = 1.0,
     easyinv_rho: float = 0.0,
     easyinv_t_min: int = 400,
+    unet_processor=None,
+    controlnet_processor=None,
 ) -> jnp.ndarray:
     """DDIM inversion z_0 -> z_T, guidance 0 (single conditional pass;
-    gc_pipeline.py:141-145), plain attention processors.
+    gc_pipeline.py:141-145). The default processors are the auto-routed
+    einsum path; production passes `FlashSelfAttnProcessor("full_t")` for
+    both — the no-CFG inversion scan is where the transposed flash
+    schedule wins (outputs/perf_r4/ab.txt; the CFG edit lane prefers
+    einsum, see processors.py).
 
     `easyinv_rho` > 0 enables the EasyInv refinement (arXiv 2408.05159,
     PAPERS.md): at high-noise timesteps (t >= easyinv_t_min) the new iterate
@@ -144,7 +150,8 @@ def invert(
     def step(x, tp):
         t, t_prev = tp
         eps = eps_model(models, params, x, t, context, cimg,
-                        conditioning_scale, hint=hint)
+                        conditioning_scale, unet_processor,
+                        controlnet_processor, hint=hint)
         x_new = ddim_inverse_step(sched, x, eps.astype(x.dtype), t, t_prev)
         if easyinv_rho > 0.0:
             x_new = jnp.where(t >= easyinv_t_min,

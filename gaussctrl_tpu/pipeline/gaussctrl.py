@@ -27,6 +27,7 @@ view per contiguous subset, seeded.
 from __future__ import annotations
 
 import dataclasses
+import os
 import random
 from typing import Any, Dict, List, Optional
 
@@ -66,12 +67,16 @@ class GaussCtrlConfig:
     self_attn_coeff: float = 0.6
     conditioning_scale: float = 1.0
     seed: int = 13789
-    # views per render/invert batch. Inversion per-view cost on v5e falls
-    # with batch to a plateau (r3 sweep: 0.453 s/view at b=12, 0.448 at
-    # b=20); b=40 OOMs — the no-CFG einsum materializes f32
-    # [40,8,4096,4096] scores (21.5 GB). 20 also packs the 40-view
-    # production flow into exactly two scans.
+    # views per splat-render/VAE-encode batch (r3 sweep: per-view cost
+    # plateaus by b=20)
     render_batch: int = 20
+    # views per DDIM-inversion scan; 0 = ALL views in one scan (the
+    # production default). The r4 on-chip A/B (outputs/perf_r4/ab.txt)
+    # routes the no-CFG inversion to the transposed flash schedule, which
+    # never materializes scores — one b=40 scan runs 8.99 s vs 17.9 s for
+    # the r3 2x b=20 einsum split. Set >0 to bound the scan batch on
+    # scenes with many views.
+    invert_batch: int = 0
     # EasyInv inversion refinement (arXiv 2408.05159): 0 = off (exact
     # reference behavior); ~0.85 blends each high-noise iterate with the
     # previous one for a tighter invert->denoise round trip
@@ -186,6 +191,26 @@ class GaussCtrlPipeline:
             return n
         nd = self.mesh.devices.size
         return -(-n // nd) * nd
+
+    def _invert_processor(self):
+        """Attention routing for the inversion lane (r4 on-chip A/B,
+        outputs/perf_r4/ab.txt + ab_iso.txt): the no-CFG inversion scan
+        runs 2.0x faster under the transposed flash schedule, while the
+        CFG-doubled edit lane prefers einsum — so ONLY invert gets the
+        Pallas processor. Single-chip TPU only: the kernel has no mesh
+        partition rules (mesh mode keeps the XLA-partitionable einsum
+        path), and off-TPU Pallas would need interpret mode.
+        GAUSSCTRL_INVERT_ATTN overrides: einsum | full_t | full | stream.
+        """
+        mode = os.environ.get("GAUSSCTRL_INVERT_ATTN", "auto")
+        if mode == "einsum":
+            return None
+        if mode == "auto":
+            if jax.default_backend() != "tpu" or self.mesh is not None:
+                return None
+            mode = "full_t"
+        from gaussctrl_tpu.diffusion.processors import FlashSelfAttnProcessor
+        return FlashSelfAttnProcessor(kernel=mode)
 
     def _diffusion_hw(self) -> tuple[int, int]:
         """Image resolution the diffusion stack runs at: camera resolution
@@ -302,20 +327,30 @@ class GaussCtrlPipeline:
         # DDIM inversion with the reverse prompt, guidance 0
         reverse = self.config.reverse_prompt + POSITIVE_SUFFIX
         zs = []
+        proc = self._invert_processor()
+        ibs = V if self.config.invert_batch <= 0 else self.config.invert_batch
+        ibs = self._round_up_views(min(ibs, V))
         # params travel as jit ARGUMENTS — closing over them would bake the
         # multi-GB tree into the compiled graph as constants
         inv = jax.jit(lambda p, lat, ctx, disp: invert(
             self.models, p, self.sched, lat, ctx, disp,
             self.config.num_inference_steps, self.config.conditioning_scale,
-            easyinv_rho=self.config.easyinv_rho))
+            easyinv_rho=self.config.easyinv_rho,
+            unet_processor=proc, controlnet_processor=proc))
         enc = jax.jit(lambda p, imgs: vae_encode(self.models, p, imgs))
+        z0s = []
         for lo in range(0, V, bs):
             hi = min(lo + bs, V)
-            n = hi - lo
             imgs = _pad_to(self._to_diffusion_res(self.unedited[lo:hi]), bs)
-            disp = _pad_to(self._to_diffusion_res(self.disparity[lo:hi]), bs)
-            z0 = enc(self.params, self._shard(imgs))
-            zT = inv(self.params, z0, self._ctx(reverse, bs), self._shard(disp))
+            z0s.append(enc(self.params, self._shard(imgs))[: hi - lo])
+        z0_all = jnp.concatenate(z0s)
+        for lo in range(0, V, ibs):
+            hi = min(lo + ibs, V)
+            n = hi - lo
+            idx = np.minimum(np.arange(lo, lo + ibs), V - 1)
+            disp = self._to_diffusion_res(self.disparity[idx])
+            zT = inv(self.params, self._shard(z0_all[idx]),
+                     self._ctx(reverse, ibs), self._shard(disp))
             zs.append(zT[:n])
             if log_fn:
                 log_fn(f"inverted views {lo}..{hi - 1}")

@@ -255,6 +255,25 @@ def test_invert_denoise_pipeline_smoke(tiny):
     assert out.shape == lat.shape and np.isfinite(np.asarray(out)).all()
 
 
+def test_invert_flash_processor_matches_default(tiny):
+    """The production inversion routing (FlashSelfAttnProcessor full_t,
+    outputs/perf_r4/ab.txt) must be numerically faithful to the default
+    einsum path — interpret mode drives the Pallas schedule on CPU."""
+    from gaussctrl_tpu.diffusion.processors import FlashSelfAttnProcessor
+    cfg, models, params = tiny
+    sched = DDIMSchedule.sd15()
+    s = cfg.sample_size
+    lat = jax.random.normal(jax.random.PRNGKey(18), (2, s, s, 4)) * 0.1
+    disp = jax.random.uniform(jax.random.PRNGKey(19), (2, s * 8, s * 8, 3))
+    ctx = _ctx(cfg, 2)
+    base = invert(models, params, sched, lat, ctx, disp, num_steps=2)
+    proc = FlashSelfAttnProcessor(kernel="full_t", interpret=True)
+    flash = invert(models, params, sched, lat, ctx, disp, num_steps=2,
+                   unet_processor=proc, controlnet_processor=proc)
+    np.testing.assert_allclose(np.asarray(flash), np.asarray(base),
+                               rtol=2e-4, atol=2e-5)
+
+
 def test_nano_config_production_token_ladder():
     """SDConfig.nano() must keep sd15's TOPOLOGY (the attention token ladder
     4096/1024/256/64 at 64x64 latents) — it is the dryrun_multichip stage

@@ -87,6 +87,35 @@ def test_pipeline_end_to_end_chunked_equals_batched():
     np.testing.assert_allclose(chunked, batched, atol=2e-3)
 
 
+def test_invert_processor_gate(monkeypatch):
+    """Inversion-lane attention routing (outputs/perf_r4/ab.txt): the Pallas
+    full_t processor is single-chip-TPU-only; CPU and mesh mode keep the
+    XLA-partitionable einsum path; GAUSSCTRL_INVERT_ATTN overrides."""
+    from gaussctrl_tpu.diffusion.processors import FlashSelfAttnProcessor
+    pipe = _setup(V=3)
+    assert pipe._invert_processor() is None        # CPU backend -> einsum
+    monkeypatch.setenv("GAUSSCTRL_INVERT_ATTN", "full_t")
+    proc = pipe._invert_processor()
+    assert isinstance(proc, FlashSelfAttnProcessor)
+    assert proc.kernel == "full_t"
+    monkeypatch.setenv("GAUSSCTRL_INVERT_ATTN", "einsum")
+    assert pipe._invert_processor() is None
+
+
+@pytest.mark.slow
+def test_invert_batch_split_equals_single_scan():
+    """invert_batch > 0 (bounded scans with last-view padding) must produce
+    the same z_T as the single-scan default — the same invariant the edit
+    lane pins for chunking."""
+    pipe = _setup(V=5)                 # invert_batch=0: one 5-view scan
+    pipe.render_reverse()
+    single = np.asarray(pipe.z_T)
+
+    pipe2 = _setup(V=5, invert_batch=2)  # 2+2+1(padded) scans
+    pipe2.render_reverse()
+    np.testing.assert_allclose(np.asarray(pipe2.z_T), single, atol=2e-3)
+
+
 @pytest.mark.slow
 def test_pipeline_sharded_edit_equals_unsharded():
     """Sharded (8-device CPU mesh) and single-device edits must agree
