@@ -142,8 +142,10 @@ def flash_attention_t(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
     Same contract as flash_attention. The host-side relayout to [B·h, d, T]
     is an O(B·T·C) HBM transpose — negligible next to the score traffic the
-    kernel saves. Intended for head_dim ≤ 64 at Tk ≤ 4096; flash_attention
-    auto-dispatches here (kernel=\"auto\") for those shapes."""
+    kernel saves. Wins on SQUARE self-attention shapes at every SD head_dim
+    (40/80/160, r4 micro sweep) and loses on tall-skinny tq >> tk;
+    flash_attention auto-dispatches here (kernel=\"auto\") for square
+    shapes with Tq ≤ 4096."""
     b, tq, c = q.shape
     tk = k.shape[1]
     d = c // heads
@@ -206,7 +208,14 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     b, tq, c = q.shape
     tk = k.shape[1]
     d = c // heads
-    if kernel == "full_t":
+    # auto → transposed schedule for SQUARE self-attention at EVERY SD
+    # head_dim (r4 micro sweep, outputs/perf_r4/micro.json, b=80: full_t
+    # beats full 49.8 vs 54.8 ms at 4096 tokens/d=40, 7.0 vs 8.3 at
+    # 1024/d=80, 3.2 vs 4.6 at 256/d=160). It LOSES on the tall-skinny
+    # grouped-ref shape tq=f·t >> tk — 20.2 vs 15.2 ms at 1024 — so the
+    # dispatch keys on squareness, not head_dim.
+    if kernel == "full_t" or (kernel == "auto" and tq == tk
+                              and tq <= 4096):
         return flash_attention_t(q, k, v, heads, block_q=block_q,
                                  interpret=interpret)
     d_pad = _round_up(d, 128)
