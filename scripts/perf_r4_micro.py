@@ -32,7 +32,11 @@ LEVELS = [  # (t, c) — SD-1.5 self-attn token ladder, heads=8
     (256, 1280),
     (64, 1280),
 ]
-SELF_IMPLS = ["einsum", "full_t", "full", "stream", "einsum_bf16sm"]
+SELF_IMPLS = ["einsum", "full_t", "full", "stream", "einsum_bf16sm",
+              # r4c: block_q sweep of the transposed schedule — per-grid-step
+              # softmax/scheduling overhead is the suspected gap between
+              # full_t's 49.8 ms and einsum's 39.4 ms at 4096/d40
+              "full_t_bq512", "full_t_bq1024"]
 REF_IMPLS = ["bcast_einsum", "grouped_full_t", "grouped_full",
              # r4b candidates for the 4096 monster (145.6 ms/call):
              # grouped_einsum  — attention_einsum(qg[g,f*t,c], kg[:,i]) per
@@ -42,7 +46,9 @@ REF_IMPLS = ["bcast_einsum", "grouped_full_t", "grouped_full",
              #                   + one PV matmul (4x fewer, larger matmuls)
              # bcast_bf16sm    — bcast einsum with bf16 softmax (VPU+HBM
              #                   relief on the 10.7G-element score tensor)
-             "grouped_einsum", "segsum_einsum", "bcast_bf16sm"]
+             "grouped_einsum", "segsum_einsum", "bcast_bf16sm",
+             "grouped_full_t_bq512", "grouped_full_t_bq1024",
+             "grouped_full_bq512"]
 CROSS_IMPLS = ["einsum"]  # tk=77 text attention (sanity scale only)
 
 WORKER = r'''
@@ -60,6 +66,12 @@ heads, g, f, r = 8, 2, 40, 4
 b = g * f
 key = jax.random.PRNGKey(0)
 q = jax.random.normal(key, (b, t, c), jnp.bfloat16)
+
+# "<kern>_bqN" suffix -> block_q override for the flash kernels
+block_q = 256
+if "_bq" in impl:
+    impl, bq_s = impl.rsplit("_bq", 1)
+    block_q = int(bq_s)
 
 import math
 def einsum_attn(q, k, v, sm_dtype):
@@ -83,7 +95,8 @@ if branch == "self":
     elif impl == "einsum_bf16sm":
         fn = lambda q, k, v: einsum_attn(q, k, v, jnp.bfloat16)
     else:
-        fn = lambda q, k, v: flash_attention(q, k, v, heads, kernel=impl)
+        fn = lambda q, k, v: flash_attention(q, k, v, heads, kernel=impl,
+                                             block_q=block_q)
     args = (q, k, v)
     def call(q, k, v):
         return fn(q, k, v), k, v
@@ -129,7 +142,8 @@ elif branch == "ref":
             return o.reshape(b, t, c).astype(q.dtype)
     else:
         kern = impl.replace("grouped_", "")
-        ff = functools.partial(flash_attention, kernel=kern)
+        ff = functools.partial(flash_attention, kernel=kern,
+                               block_q=block_q)
         fn = lambda q, kg, vg: _grouped_ref_attention(q, kg, vg, r, heads,
                                                       flash_fn=ff)
     args = (q, kg, vg)
