@@ -122,10 +122,30 @@ def main():
 
     PEAK_BF16 = 197e12  # TPU v5e MXU peak, bf16
 
+    # Routing-drift guard (VERDICT r4 #5): the bench must measure the SAME
+    # implementations the production lanes route to, and those must match
+    # the recorded A/B winners (outputs/perf_r4/ab.txt: edit self = einsum
+    # at 37.19 s/scan vs 48.06 q-blocked / 45.03 flash_t; inversion =
+    # flash full_t at 8.99 s vs 17.9 einsum). If the default routing drifts
+    # off the winner, fail loudly instead of silently benching a loser.
+    import os
+    from gaussctrl_tpu.diffusion.processors import resolve_self_attn_impl
+    edit_self_attn = resolve_self_attn_impl(s * s, 320 // 8)
+    if "GAUSSCTRL_EDIT_SELF_ATTN" not in os.environ \
+            and edit_self_attn != "einsum":
+        raise SystemExit(
+            f"edit-lane self-attention routed to {edit_self_attn!r}, but the "
+            "recorded A/B winner is einsum (outputs/perf_r4/ab.txt) — "
+            "routing drifted; fix resolve_self_attn_impl or re-record the A/B")
+
     # inversion: 20-step scan, no CFG, ONE b=40 shot on the transposed
-    # flash schedule — the r4 production routing (module docstring)
+    # flash schedule — the r4 production routing (module docstring).
+    # Pallas is TPU-only: off-TPU (CI smoke) fall back to the einsum lane
+    # so the bench still runs end to end.
     from gaussctrl_tpu.diffusion.processors import FlashSelfAttnProcessor
-    inv_proc = FlashSelfAttnProcessor(kernel="full_t")
+    on_tpu = jax.default_backend() == "tpu"
+    inv_proc = FlashSelfAttnProcessor(kernel="full_t") if on_tpu else None
+    inversion_attn = "flash_full_t" if on_tpu else "einsum (off-TPU fallback)"
     b_inv = views
     lat, ctx, disp = batch(b_inv)
     inv = jax.jit(lambda p, l, c, d: invert(
@@ -165,7 +185,9 @@ def main():
                     "chunking; tests/test_pipeline.py)",
             "t_invert_scan_s": round(t_inv, 4),
             "inversion_batch": b_inv,
-            "inversion_attn": "flash_full_t",
+            "inversion_attn": inversion_attn,
+            # per-lane routing record, asserted above against the A/B winner
+            "edit_self_attn": edit_self_attn,
             "t_edit40_scan_s": round(t_edit40, 4),
             "edit_batch_cfg_doubled": 2 * views,
             "t_edit_chunk3_scan_s": round(t_edit3, 4),

@@ -210,9 +210,9 @@ def check_mask_iou(sam_ckpt: Optional[str] = None,
             sam_ckpt=sam_ckpt, dino_ckpt=dino_ckpt, dino_vocab=dino_vocab)
     img = _load_image(image_path, 256)
     boxes = np.asarray(masker.proposer(jnp.asarray(img), prompt))
-    mask = np.asarray(masker(jnp.asarray(img), prompt))[0, ..., 0] > 0.5
-    if boxes[0, 0] < 0:
+    if boxes[0, 0] < 0:  # bail before the expensive SAM mask prediction
         return {"ok": False, "reason": "no box proposed", "mask_iou": 0.0}
+    mask = np.asarray(masker(jnp.asarray(img), prompt))[0, ..., 0] > 0.5
     h = w = img.shape[1]
     x0, y0, x1, y1 = np.clip(boxes[0], 0, [w, h, w, h]).astype(int)
     rect = np.zeros((h, w), bool)

@@ -193,17 +193,24 @@ def flash_attention_t(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 @functools.partial(jax.jit,
                    static_argnames=("heads", "block_q", "block_k",
-                                    "interpret", "kernel"))
+                                    "interpret", "kernel", "is_self"))
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     heads: int, block_q: int = 256, block_k: int = 512,
                     interpret: bool = False,
-                    kernel: str = "auto") -> jnp.ndarray:
+                    kernel: str = "auto",
+                    is_self: bool | None = None) -> jnp.ndarray:
     """Drop-in for diffusion.nn.attention: q [B,Tq,C], k/v [B,Tk,C] -> [B,Tq,C].
 
     kernel: "full" = single-shot in-VMEM softmax, "stream" = online-softmax
     K/V block loop, "full_t" = transposed small-head_dim single shot
     (flash_attention_t), "auto" = full when the score panel fits the VMEM
     budget.
+
+    is_self: hint for the auto dispatch — the transposed schedule was
+    measured on SELF-attention access patterns; callers that know the shape
+    is NOT self-attention (e.g. the grouped-ref branch at f=1, which is
+    coincidentally square) pass False to keep the standard-layout schedule.
+    None preserves the square-shape proxy for callers without the hint.
     """
     b, tq, c = q.shape
     tk = k.shape[1]
@@ -213,9 +220,9 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     # beats full 49.8 vs 54.8 ms at 4096 tokens/d=40, 7.0 vs 8.3 at
     # 1024/d=80, 3.2 vs 4.6 at 256/d=160). It LOSES on the tall-skinny
     # grouped-ref shape tq=f·t >> tk — 20.2 vs 15.2 ms at 1024 — so the
-    # dispatch keys on squareness, not head_dim.
+    # dispatch keys on squareness (plus the is_self hint when given).
     if kernel == "full_t" or (kernel == "auto" and tq == tk
-                              and tq <= 4096):
+                              and tq <= 4096 and is_self is not False):
         return flash_attention_t(q, k, v, heads, block_q=block_q,
                                  interpret=interpret)
     d_pad = _round_up(d, 128)

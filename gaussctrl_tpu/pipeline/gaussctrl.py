@@ -206,7 +206,12 @@ class GaussCtrlPipeline:
         if mode == "einsum":
             return None
         if mode == "auto":
-            if jax.default_backend() != "tpu" or self.mesh is not None:
+            # GAUSSCTRL_FLASH=0 is the documented global Pallas kill-switch
+            # (nn._use_flash); honor it here too so disabling flash really
+            # disables every Pallas lane. GAUSSCTRL_INVERT_ATTN stays the
+            # explicit per-lane override (wins over the global switch).
+            if (jax.default_backend() != "tpu" or self.mesh is not None
+                    or os.environ.get("GAUSSCTRL_FLASH") == "0"):
                 return None
             mode = "full_t"
         from gaussctrl_tpu.diffusion.processors import FlashSelfAttnProcessor

@@ -212,6 +212,40 @@ def test_ref_attn_override_forces_einsum_branch(monkeypatch):
                                atol=1e-5)
 
 
+def test_edit_self_attn_routing_default():
+    """VERDICT r4 #5 guard: under the default env the edit lane's self
+    branch must resolve to plain einsum at the 4096-token CFG-doubled level
+    (the recorded A/B winner, outputs/perf_r4/ab.txt: 37.19 s/scan einsum vs
+    48.06 q-blocked vs 45.03 flash_t) — and the auto policy must never pick
+    the q-blocked budget fallback at any SD level. bench.py asserts the same
+    at runtime; this pins it in CI."""
+    import os
+
+    from gaussctrl_tpu.diffusion.processors import resolve_self_attn_impl
+    assert os.environ.get("GAUSSCTRL_EDIT_SELF_ATTN") is None
+    assert resolve_self_attn_impl(4096, 40) == "einsum"
+    for t, d in [(4096, 40), (1024, 80), (256, 160), (64, 160)]:
+        assert resolve_self_attn_impl(t, d) in ("einsum", "flash")
+
+
+def test_edit_self_attn_override_and_qblocked_equivalence(monkeypatch):
+    """GAUSSCTRL_EDIT_SELF_ATTN is the A/B knob; qblocked must be
+    bit-comparable to einsum (it is exact attention, just memory-bounded)."""
+    from gaussctrl_tpu.diffusion.processors import resolve_self_attn_impl
+    monkeypatch.setenv("GAUSSCTRL_EDIT_SELF_ATTN", "qblocked")
+    assert resolve_self_attn_impl(4096, 40) == "qblocked"
+
+    key = jax.random.PRNGKey(21)
+    g, f, t, c, heads, r = 2, 3, 6, 8, 2, 2
+    b = g * f
+    q, k, v = jax.random.normal(key, (3, b, t, c))
+    out_qb = CrossViewAttnProcessor(r, 0.6, g)(q, k, v, heads)
+    monkeypatch.setenv("GAUSSCTRL_EDIT_SELF_ATTN", "einsum")
+    out_es = CrossViewAttnProcessor(r, 0.6, g)(q, k, v, heads)
+    np.testing.assert_allclose(np.asarray(out_qb), np.asarray(out_es),
+                               atol=1e-6)
+
+
 def test_easyinv_blend_only_at_high_t(tiny):
     """rho=0 is the exact reference path; rho>0 changes only the high-noise
     iterates (t >= easyinv_t_min), keeping shapes finite."""
