@@ -24,14 +24,23 @@ def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
 
 
 def _filter2d(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
-    """Depthwise 2-D filter. img [H,W,C], kernel [k,k]."""
+    """Depthwise 2-D filter. img [H,W,C], kernel [k,k].
+
+    precision=HIGHEST is load-bearing: on TPU, f32 convs run one bf16 pass
+    under the DEFAULT precision, and SSIM's variance terms E[x²]−μ² then
+    cancel catastrophically on low-variance windows — on the face scene the
+    computed s00+s11 dipped to −1.5e-3 (beyond c2=9e-4), sending per-pixel
+    SSIM ratios to ±1000, the mean to 1.0417 (the r4 step-1000 "divergence",
+    outputs/face_r5/), and garbage gradients into 5% of the pixels every
+    step. The 11×11 depthwise conv is bandwidth-trivial next to
+    rasterization, so the 6-pass f32 emulation costs nothing measurable."""
     c = img.shape[-1]
     k = kernel.shape[0]
     lhs = img[None].transpose(0, 3, 1, 2)                  # [1,C,H,W]
     rhs = jnp.broadcast_to(kernel, (c, 1, k, k))           # [C,1,k,k]
     out = jax.lax.conv_general_dilated(
         lhs, rhs, window_strides=(1, 1), padding="VALID",
-        feature_group_count=c,
+        feature_group_count=c, precision=jax.lax.Precision.HIGHEST,
     )
     return out[0].transpose(1, 2, 0)
 
@@ -44,8 +53,11 @@ def ssim(img0: jnp.ndarray, img1: jnp.ndarray, max_val: float = 1.0) -> jnp.ndar
     mu0 = _filter2d(img0, kernel)
     mu1 = _filter2d(img1, kernel)
     mu00, mu11, mu01 = mu0 * mu0, mu1 * mu1, mu0 * mu1
-    s00 = _filter2d(img0 * img0, kernel) - mu00
-    s11 = _filter2d(img1 * img1, kernel) - mu11
+    # variances are non-negative analytically; the floor discards the last
+    # float-roundoff excursions so the denominator factor stays ≥ c2 > 0
+    # (belt-and-braces on top of the HIGHEST-precision convs)
+    s00 = jnp.maximum(_filter2d(img0 * img0, kernel) - mu00, 0.0)
+    s11 = jnp.maximum(_filter2d(img1 * img1, kernel) - mu11, 0.0)
     s01 = _filter2d(img0 * img1, kernel) - mu01
     num = (2 * mu01 + c1) * (2 * s01 + c2)
     den = (mu00 + mu11 + c1) * (s00 + s11 + c2)

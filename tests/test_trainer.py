@@ -33,6 +33,40 @@ def test_ssim_identical_is_one(rng):
     assert float(ssim(img, img)) > 0.999
 
 
+def test_ssim_convs_pin_highest_precision(rng):
+    """Regression for the r4 face-scene 'divergence' (outputs/face_r5/):
+    on TPU, f32 convs run one bf16 pass at DEFAULT precision and SSIM's
+    E[x²]−μ² variances cancel catastrophically on flat windows — the face
+    step-1000 state produced per-pixel SSIM in [-1255, +662] and a mean of
+    1.0417, plus garbage gradients on ~5% of pixels. The conv precision
+    must stay pinned to HIGHEST (the CPU test lane computes f32 either
+    way, so pin the jaxpr, not the value)."""
+    img = jnp.asarray(rng.uniform(0, 1, (32, 32, 3)).astype(np.float32))
+    jaxpr = str(jax.make_jaxpr(ssim)(img, img))
+    n_hi = jaxpr.count("precision=(Precision.HIGHEST")
+    assert n_hi >= 5, f"expected all 5 SSIM convs at HIGHEST, jaxpr has {n_hi}"
+
+
+def test_ssim_bounded_on_flat_images(rng):
+    """Mean SSIM of valid [0,1] images stays in [-1, 1] even on the
+    adversarial case — large constant regions where the variance terms are
+    pure cancellation (the face background that broke r4). Also pins the
+    variance floor: a constant-vs-constant pair is exactly SSIM-friendly."""
+    flat = jnp.full((64, 64, 3), 0.25)
+    noisy = flat + jnp.asarray(
+        rng.normal(0, 1e-4, (64, 64, 3)).astype(np.float32))
+    for a, b in [(flat, flat), (flat, noisy), (noisy, noisy)]:
+        s = float(ssim(a, b))
+        assert -1.0 <= s <= 1.0 + 1e-5, s
+    assert float(ssim(flat, flat)) > 0.999
+    # gradients on the flat pair are finite and small (they were ±1e3
+    # spikes under the bf16-conv cancellation)
+    g = jax.grad(lambda p: splat_loss(p, flat)[0])(noisy)
+    g = np.asarray(g)
+    assert np.isfinite(g).all()
+    assert np.abs(g).max() < 10.0
+
+
 def test_splat_loss_zero_for_identical(rng):
     img = jnp.asarray(rng.uniform(0, 1, (32, 32, 3)).astype(np.float32))
     loss, m = splat_loss(img, img)
