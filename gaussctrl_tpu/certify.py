@@ -154,6 +154,88 @@ def check_sd_stack(sd_dir: str, controlnet_dir: str,
     return out
 
 
+def check_cross_view_edit(sd_dir: str, controlnet_dir: str,
+                          image_path: Optional[str] = None,
+                          edit_prompt: str = "a photo of a polar bear",
+                          reverse_prompt: str = "a photo of a bear",
+                          num_steps: int = 20, guidance: float = 5.0,
+                          cfg=None, dtype=None) -> Dict[str, Any]:
+    """Tiny two-view cross-view edit golden (VERDICT r4 #6): fidelity AND
+    method correctness in one deterministic run (DDIM eta=0, no RNG).
+
+    Builds two nearly-identical 'views' (the certify image and an 8px
+    translation), inverts both with the reverse prompt, then edits both in
+    one CFG batch twice: (a) with the cross-view processor (view 0 as the
+    single reference — /root/reference/gaussctrl/utils.py:86-117 semantics)
+    and (b) independently (no processor). The method's core claim is that
+    (a) yields MORE consistent edits across views than (b):
+
+        consistency_gain = L2(ind0, ind1) / L2(xv0, xv1)  >  1
+
+    On real SD-1.5 + ControlNet weights the gain is expected well above 1;
+    random weights land ~1.0 and correctly fail (calibration pinned in
+    tests/test_certify.py on the fake-ckpt fixtures)."""
+    import jax
+    import jax.numpy as jnp
+    from gaussctrl_tpu.diffusion.clip import load_tokenizer
+    from gaussctrl_tpu.diffusion.config import SDConfig
+    from gaussctrl_tpu.diffusion.ddim import DDIMSchedule
+    from gaussctrl_tpu.diffusion.processors import CrossViewAttnProcessor
+    from gaussctrl_tpu.diffusion.sample import (
+        SDModels, denoise, encode_text, invert, vae_decode, vae_encode)
+    from gaussctrl_tpu.diffusion.weights import load_sd_params
+
+    cfg = cfg or SDConfig.sd15()
+    dtype = dtype or jnp.bfloat16
+    models = SDModels.create(cfg, dtype=dtype)
+    params = load_sd_params(sd_dir, controlnet_dir)
+    params = jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), params)
+    tok = load_tokenizer(sd_dir, cfg.text)
+
+    img0 = _load_image(image_path, cfg.sample_size * 8)
+    img1 = np.roll(img0, 8, axis=2)               # second view: 8px shift
+    imgs = jnp.asarray(np.concatenate([img0, img1]))
+    z0 = jax.jit(lambda p, x: vae_encode(models, p, x))(params, imgs)
+    disp = jnp.broadcast_to(imgs.mean(-1, keepdims=True), imgs.shape)
+
+    def ctx(text):
+        ids = jnp.asarray(tok.encode(text))[None]
+        one = jax.jit(lambda p, i: encode_text(models, p, i))(params, ids)
+        return jnp.concatenate([one, one])
+
+    sched = DDIMSchedule.sd15()
+    zT = jax.jit(lambda p, z, c, d: invert(
+        models, p, sched, z, c, d, num_steps))(params, z0,
+                                               ctx(reverse_prompt), disp)
+
+    cp, cn = ctx(edit_prompt), ctx("")
+    groups = 2 if guidance > 1.0 else 1
+    run = jax.jit(lambda p, z, cp, cn, d, up, crp: denoise(
+        models, p, sched, z, cp, cn, d, guidance_scale=guidance,
+        num_steps=num_steps, unet_processor=up, controlnet_processor=crp),
+        static_argnames=("up", "crp"))
+    z_xv = run(params, zT, cp, cn, disp,
+               CrossViewAttnProcessor(1, 0.6, groups),
+               CrossViewAttnProcessor(1, 0.0, groups))
+    z_ind = run(params, zT, cp, cn, disp, None, None)
+    dec = jax.jit(lambda p, z: vae_decode(models, p, z))
+    e_xv = np.clip(np.asarray(dec(params, z_xv), np.float32), 0, 1)
+    e_ind = np.clip(np.asarray(dec(params, z_ind), np.float32), 0, 1)
+
+    def l2(a, b):
+        return float(np.sqrt(np.mean((a - b) ** 2)))
+
+    d_xv = l2(e_xv[0], e_xv[1])
+    d_ind = l2(e_ind[0], e_ind[1])
+    gain = d_ind / max(d_xv, 1e-9)
+    finite = bool(np.isfinite(e_xv).all() and np.isfinite(e_ind).all())
+    return {"ok": finite and gain > 1.0,
+            "consistency_gain": round(gain, 4),
+            "xv_view_l2": round(d_xv, 5), "ind_view_l2": round(d_ind, 5),
+            "edit_changed_image": l2(e_xv[0],
+                                     np.asarray(imgs[0], np.float32)) > 1e-3}
+
+
 def check_sam(sam_ckpt: str, image_path: Optional[str] = None
               ) -> Dict[str, Any]:
     import jax.numpy as jnp
@@ -268,10 +350,14 @@ def run_battery(sd_dir: Optional[str] = None,
         if controlnet_dir:
             _run("_sd", check_sd_stack, sd_dir, controlnet_dir, image,
                  prompt, num_steps)
+            _run("cross_view_edit", check_cross_view_edit, sd_dir,
+                 controlnet_dir, image, num_steps=num_steps)
         else:
             skipped.append("sd_stack (no --controlnet-dir)")
+            skipped.append("cross_view_edit (no --controlnet-dir)")
     else:
-        skipped += ["tokenizer_goldens", "sd_stack (no --diffusers-dir)"]
+        skipped += ["tokenizer_goldens", "sd_stack (no --diffusers-dir)",
+                    "cross_view_edit (no --diffusers-dir)"]
     if sam_ckpt:
         _run("sam", check_sam, sam_ckpt, image)
         # full text->box->mask agreement, with the best proposer available

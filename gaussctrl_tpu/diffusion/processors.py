@@ -30,6 +30,14 @@ from gaussctrl_tpu.diffusion.nn import (_use_flash, attention,
                                         attention_einsum_qblocked)
 
 
+# Token levels whose whole cross-view layer routes to the fused Pallas
+# kernel by default — the r5 on-chip sweep winners (outputs/perf_r5/
+# micro.json): 4096 fused_bq512 172.0 vs 181.5 composed (xview) / 138.9 vs
+# 145.6 (xview0); 1024 fused 12.7 vs 45.4 composed; 256 fused 4.27 vs 6.10.
+# The 64-token level stays composed (2 calls/step, sub-ms either way).
+_XVIEW_FUSED_DEFAULT = "4096,1024,256"
+
+
 def resolve_self_attn_impl(t: int, head_dim: int,
                            default: str = "auto") -> str:
     """Edit-lane self-attention routing, resolved to a concrete impl name.
@@ -114,12 +122,36 @@ class CrossViewAttnProcessor:
     # self-branch routing default; "auto" = measured lane policy
     # (resolve_self_attn_impl), env GAUSSCTRL_EDIT_SELF_ATTN overrides
     self_attn_impl: str = "auto"
+    # fused Pallas path gate: the kernel has no mesh partition rules, so
+    # the pipeline sets this False in mesh mode (einsum stays the XLA-
+    # partitionable sharded lane)
+    allow_fused: bool = True
 
     def __call__(self, q, k, v, heads):
         b, t, c = q.shape
         g, r = self.cfg_groups, self.num_refs
         f = b // g
         assert b % g == 0 and r <= f, (b, g, r)
+
+        # Fused whole-blend Pallas kernel (self + r ref panels per q-block,
+        # q fetched once, blend in VMEM — ops/flash_attention.py
+        # cross_view_attention). Routed per token level via
+        # GAUSSCTRL_XVIEW_FUSED_LEVELS (A/B knob; default set from the r5
+        # on-chip sweep, outputs/perf_r5/micro.json). block_q is per-level:
+        # 4096 wants 512 (bq1024 fails remote-compile; bq768 non-pow2 is
+        # slower), ≤1024 wants the whole row in one q-block (bq1024: 12.7 ms
+        # vs 14.7 at bq512 vs 21.3 at bq256). TPU-only (Pallas).
+        import os
+        fused_levels = os.environ.get("GAUSSCTRL_XVIEW_FUSED_LEVELS",
+                                      _XVIEW_FUSED_DEFAULT)
+        if self.allow_fused and fused_levels \
+                and str(t) in fused_levels.split(",") \
+                and jax.default_backend() == "tpu":
+            from gaussctrl_tpu.ops.flash_attention import cross_view_attention
+            return cross_view_attention(
+                q, k, v, heads, num_refs=r,
+                self_coeff=float(self.self_attn_coeff), cfg_groups=g,
+                block_q=512 if t >= 4096 else max(t, 128))
 
         out = 0.0
         if self.self_attn_coeff != 0.0:

@@ -191,6 +191,144 @@ def flash_attention_t(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return out.reshape(b, tq, c)
 
 
+def _cross_view_kernel(q_ref, kr_ref, vr_ref, *rest, t_real: int,
+                       scale: float, r: int, self_coeff: float,
+                       exp_bf16: bool = False):
+    """One (group, head, view, q-block) cell of the fused cross-view blend.
+
+    Computes  self_coeff * attn(q, k_self, v_self)
+            + (1 - self_coeff)/r * Σ_i attn(q, k_ref_i, v_ref_i)
+    with q fetched from HBM ONCE for all 1+r score panels (vs 1+r separate
+    attention calls — the r4-best composition re-reads q and re-writes o per
+    panel and pays pallas grid overhead 5x). Transposed small-head_dim
+    layout throughout (see _attn_kernel_full_t): d on sublanes (40 -> 48
+    pad), tokens on lanes, scores [t_pad, bq] never leave VMEM.
+
+    Refs: q [1,1,1,d_pad,bq]; kr/vr [1,1,r,d_pad,t_pad]; when self_coeff!=0
+    two further INPUT refs ks/vs [1,1,1,d_pad,t_pad] precede the output
+    (pallas passes inputs before outputs). o like q.
+    """
+    if self_coeff != 0.0:
+        ks_ref, vs_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
+    q = q_ref[0, 0, 0]                                       # [d_pad, bq]
+
+    def panel(k, v):
+        s = jax.lax.dot_general(
+            k, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale      # [t_pad, bq]
+        kpos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        s = jnp.where(kpos < t_real, s, _NEG_INF)
+        m = s.max(axis=0, keepdims=True)
+        if exp_bf16:
+            # A/B knob: transcendental in bf16 (2x VPU rate); max-subtracted
+            # scores are <= 0 so exp lands in [0,1] where bf16's 8-bit
+            # mantissa costs ~0.4% relative — acceptable for inference,
+            # gated behind the sweep-measured routing only
+            p = jnp.exp((s - m).astype(jnp.bfloat16))
+            l = p.astype(jnp.float32).sum(axis=0, keepdims=True)
+        else:
+            p = jnp.exp(s - m)
+            l = p.sum(axis=0, keepdims=True)
+        o = jax.lax.dot_general(
+            v, p.astype(v.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # [d_pad, bq]
+        return o / jnp.maximum(l, 1e-30)
+
+    acc = 0.0
+    for i in range(r):
+        acc = acc + panel(kr_ref[0, 0, i], vr_ref[0, 0, i])
+    acc = acc * ((1.0 - self_coeff) / r)
+    if self_coeff != 0.0:
+        acc = acc + self_coeff * panel(ks_ref[0, 0, 0], vs_ref[0, 0, 0])
+    o_ref[0, 0, 0] = acc.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("heads", "num_refs", "self_coeff",
+                                    "cfg_groups", "block_q", "interpret",
+                                    "exp_bf16"))
+def cross_view_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                         heads: int, num_refs: int = 4,
+                         self_coeff: float = 0.6, cfg_groups: int = 2,
+                         block_q: int = 256,
+                         interpret: bool = False,
+                         exp_bf16: bool = False) -> jnp.ndarray:
+    """Whole cross-view attention (self + ref blend) as ONE Pallas call.
+
+    Drop-in for the body of CrossViewAttnProcessor (reference semantics:
+    /root/reference/gaussctrl/utils.py:86-117 — 0.6·self + 0.4·mean of r
+    per-ref attentions, per-ref softmax). q/k/v [B,T,C] with B = G·F (G CFG
+    groups, F views per group, first num_refs of each group are the refs).
+
+    Why fused: the edit scan's 4096-token level spends ~55% of the step in
+    the composed einsum ref branch (r4 micro: 145.6 ms/call x7 + 39.4 self);
+    one kernel computes all 1+r panels per q-block with q loaded once, the
+    blend in VMEM, and one output write. Grid ordered (G, heads, F, q-blocks)
+    so the per-(group,head) ref K/V block stays resident across all views'
+    q-blocks. Inference-only, like the other schedules here.
+    """
+    b, t, c = q.shape
+    g, r = cfg_groups, num_refs
+    f = b // g
+    d = c // heads
+    d_pad = _round_up(d, 16)
+    scale = 1.0 / math.sqrt(d)
+    bq = min(block_q, _round_up(t, 128))
+    t_pad = _round_up(t, max(bq, 128))
+
+    def split_t(x):
+        # [B,T,C] -> [g, f, h, d_pad, t_pad] (d on sublanes, tokens on lanes)
+        x = x.reshape(g, f, t, heads, d).transpose(0, 1, 3, 4, 2)
+        return jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, d_pad - d),
+                           (0, t_pad - t)))
+
+    qh = split_t(q)
+    kh = split_t(k)
+    vh = split_t(v)
+    # refs live once per (group, head): [g, h, r, d_pad, t_pad]
+    kr = kh[:, :r].transpose(0, 2, 1, 3, 4)
+    vr = vh[:, :r].transpose(0, 2, 1, 3, 4)
+
+    grid = (g, heads, f, t_pad // bq)
+    qspec = pl.BlockSpec((1, 1, 1, d_pad, bq),
+                         lambda gi, hi, fi, qi: (gi, fi, hi, 0, qi),
+                         memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec((1, 1, 1, d_pad, t_pad),
+                         lambda gi, hi, fi, qi: (gi, fi, hi, 0, 0),
+                         memory_space=pltpu.VMEM)
+    rspec = pl.BlockSpec((1, 1, r, d_pad, t_pad),
+                         lambda gi, hi, fi, qi: (gi, hi, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+
+    operands = [qh, kr, vr]
+    in_specs = [qspec, rspec, rspec]
+    if self_coeff != 0.0:
+        operands += [kh, vh]
+        in_specs += [sspec, sspec]
+
+    out = pl.pallas_call(
+        functools.partial(_cross_view_kernel, t_real=t, scale=scale, r=r,
+                          self_coeff=self_coeff, exp_bf16=exp_bf16),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=qspec,
+        out_shape=jax.ShapeDtypeStruct((g, f, heads, d_pad, t_pad), q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * heads * t_pad * t_pad * d_pad
+                  * (r + (1 if self_coeff != 0.0 else 0)),
+            bytes_accessed=(b * heads * 4 * t_pad * d_pad * q.dtype.itemsize),
+            transcendentals=b * heads * t_pad * t_pad
+                            * (r + (1 if self_coeff != 0.0 else 0)),
+        ),
+    )(*operands)
+
+    out = out[:, :, :, :d, :t]                    # [g, f, h, d, t]
+    return out.transpose(0, 1, 4, 2, 3).reshape(b, t, c)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("heads", "block_q", "block_k",
                                     "interpret", "kernel", "is_self"))

@@ -383,13 +383,19 @@ class GaussCtrlPipeline:
         guided = cfg.guidance_scale > 1.0
         groups = 2 if guided else 1
 
+        # fused cross-view Pallas path is single-chip only (no mesh
+        # partition rules); mesh mode keeps the XLA-partitionable einsum
+        fused_ok = self.mesh is None
+
         def _run_batch(p, z, disp, ctx_p, ctx_n, nrefs):
             return denoise(
                 self.models, p, self.sched, z, ctx_p, ctx_n,
                 disp, cfg.guidance_scale, cfg.num_inference_steps,
                 cfg.conditioning_scale,
-                unet_processor=CrossViewAttnProcessor(nrefs, cfg.self_attn_coeff, groups),
-                controlnet_processor=CrossViewAttnProcessor(nrefs, 0.0, groups))
+                unet_processor=CrossViewAttnProcessor(
+                    nrefs, cfg.self_attn_coeff, groups, allow_fused=fused_ok),
+                controlnet_processor=CrossViewAttnProcessor(
+                    nrefs, 0.0, groups, allow_fused=fused_ok))
 
         _run_batch = jax.jit(_run_batch, static_argnames=("nrefs",))
 

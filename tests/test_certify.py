@@ -91,3 +91,24 @@ def test_mask_iou_check_plumbing():
 def test_run_battery_skips_mask_iou_without_sam():
     v = run_battery()
     assert any("mask_iou" in s for s in v["skipped"])
+
+
+def test_cross_view_edit_golden_runs_and_calibrates(fake_ckpt_dirs):  # noqa: F811
+    """The two-view cross-view edit golden (VERDICT r4 #6) runs end-to-end
+    on disk ckpts and reports the consistency gain; determinism is pinned
+    (DDIM eta=0, no RNG — two runs must agree bitwise)."""
+    from gaussctrl_tpu.certify import check_cross_view_edit
+    sd_dir, cn_dir = fake_ckpt_dirs
+    out = check_cross_view_edit(sd_dir, cn_dir, num_steps=2, guidance=5.0,
+                                cfg=SDConfig.tiny(), dtype=jnp.float32)
+    assert "error" not in out, out
+    assert np.isfinite(out["consistency_gain"])
+    assert out["xv_view_l2"] >= 0 and out["ind_view_l2"] >= 0
+    out2 = check_cross_view_edit(sd_dir, cn_dir, num_steps=2, guidance=5.0,
+                                 cfg=SDConfig.tiny(), dtype=jnp.float32)
+    assert out == out2
+
+
+def test_run_battery_includes_cross_view_edit_skip():
+    v = run_battery()
+    assert any("cross_view_edit" in s for s in v["skipped"])

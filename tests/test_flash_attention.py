@@ -113,3 +113,38 @@ def test_attention_routes_qblocked_over_budget(monkeypatch):
     assert called.get("yes"), "expected q-blocked routing under 1MB budget"
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-6, rtol=1e-6)
+
+
+@pytest.mark.parametrize("self_coeff", [0.6, 0.0])
+@pytest.mark.parametrize("g,f,t,c,heads,r", [
+    (2, 4, 64, 16, 2, 2),      # CFG-doubled tiny
+    (1, 3, 100, 32, 4, 2),     # no CFG, non-multiple T (tail masking)
+    (2, 5, 128, 80, 2, 4),     # head_dim 40, 4 refs — the SD shape
+])
+def test_cross_view_fused_matches_processor(g, f, t, c, heads, r,
+                                            self_coeff):
+    """Fused cross-view kernel (one pallas_call, self + r ref panels per
+    q-block) vs the composed oracle: self_coeff*self + (1-c)/r * sum of
+    per-ref attentions with K/V from each group's first r views."""
+    from gaussctrl_tpu.ops.flash_attention import cross_view_attention
+    b = g * f
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(7), 3)
+    q = jax.random.normal(kq, (b, t, c))
+    k = jax.random.normal(kk, (b, t, c))
+    v = jax.random.normal(kv, (b, t, c))
+
+    ref = self_coeff * _oracle(q, k, v, heads)
+    kg = k.reshape(g, f, t, c)
+    vg = v.reshape(g, f, t, c)
+    acc = 0.0
+    for i in range(r):
+        kr = jnp.broadcast_to(kg[:, i:i + 1], (g, f, t, c)).reshape(b, t, c)
+        vr = jnp.broadcast_to(vg[:, i:i + 1], (g, f, t, c)).reshape(b, t, c)
+        acc = acc + _oracle(q, kr, vr, heads)
+    ref = ref + (1.0 - self_coeff) * acc / r
+
+    out = cross_view_attention(q, k, v, heads, num_refs=r,
+                               self_coeff=self_coeff, cfg_groups=g,
+                               block_q=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-5, rtol=3e-5)
