@@ -142,7 +142,8 @@ def main():
     # flash schedule — the r4 production routing (module docstring).
     # Pallas is TPU-only: off-TPU (CI smoke) fall back to the einsum lane
     # so the bench still runs end to end.
-    from gaussctrl_tpu.diffusion.processors import FlashSelfAttnProcessor
+    from gaussctrl_tpu.diffusion.processors import (_XVIEW_FUSED_DEFAULT,
+                                                    FlashSelfAttnProcessor)
     on_tpu = jax.default_backend() == "tpu"
     inv_proc = FlashSelfAttnProcessor(kernel="full_t") if on_tpu else None
     inversion_attn = "flash_full_t" if on_tpu else "einsum (off-TPU fallback)"
@@ -207,6 +208,11 @@ def main():
                                                       "auto"),
             "flash_max_tk": __import__("os").environ.get(
                 "GAUSSCTRL_FLASH_MAX_TK", "2048"),
+            # r5: token levels whose whole cross-view layer runs the fused
+            # Pallas kernel (outputs/perf_r5/micro.json + scan_ab.json)
+            "xview_fused_levels": os.environ.get(
+                "GAUSSCTRL_XVIEW_FUSED_LEVELS", _XVIEW_FUSED_DEFAULT)
+            if on_tpu else "(off-TPU: composed)",
         },
     }))
 

@@ -46,10 +46,18 @@ def _filter2d(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
 
 
 def ssim(img0: jnp.ndarray, img1: jnp.ndarray, max_val: float = 1.0) -> jnp.ndarray:
-    """Mean SSIM over an [H,W,C] image pair."""
+    """Mean SSIM over an [H,W,C] image pair.
+
+    The 11×11 window shrinks (to the next odd size ≤ min(H, W)) when the
+    image is smaller than the window: the VALID conv would otherwise produce
+    an EMPTY output and `mean` of zero elements is silently NaN — hit by the
+    pretrain resolution ramp on small portrait views (a 32×48 view trains at
+    8×12 during the 1/4-res phase), where the NaN reached the loss and
+    tripped the divergence sentinel at step 0."""
     c1 = (0.01 * max_val) ** 2
     c2 = (0.03 * max_val) ** 2
-    kernel = _gaussian_kernel()
+    k = min(11, img0.shape[0], img0.shape[1])
+    kernel = _gaussian_kernel(k - (1 - k % 2))
     mu0 = _filter2d(img0, kernel)
     mu1 = _filter2d(img1, kernel)
     mu00, mu11, mu01 = mu0 * mu0, mu1 * mu1, mu0 * mu1

@@ -200,3 +200,49 @@ def test_pretrain_resolution_ramp_and_fullres_pallas():
     assert np.isfinite(float(metrics["loss"]))
     assert "isect_frac" in metrics and float(metrics["isect_frac"]) <= 1.0
     assert scene.num_gaussians == 20            # densify disabled
+
+
+@pytest.mark.slow
+def test_pretrain_portrait_flat_background_no_divergence():
+    """Face-scene regression (r4 post-mortem, outputs/face_r4/smoke.log):
+    portrait intrinsics + large flat background made the default-precision
+    SSIM variance terms cancel (computed SSIM hit 1.04 on a healthy render)
+    and trip the divergence sentinel right after the first densify refine.
+    With losses.ssim pinned to Precision.HIGHEST and floored variances
+    (9e33787) this face-shaped short pretrain — tall aspect, flat-background
+    GT, a refine + opacity-reset crossing — must run to completion."""
+    from gaussctrl_tpu.cameras.camera import make_cameras
+    from gaussctrl_tpu.splat.pretrain import PretrainConfig, pretrain
+    from gaussctrl_tpu.splat.render import render_rgbd
+
+    w, h = 32, 48                                    # portrait, face-style
+    gt_scene = random_scene(jax.random.PRNGKey(9), 40, sh_degree=1,
+                            extent=0.25)             # small subject,
+    c2ws = []                                        # mostly background
+    for i in range(3):
+        a = 0.6 * (i - 1)
+        pos = np.array([np.sin(a) * 2, 0.0, np.cos(a) * 2])
+        fwd = -pos / np.linalg.norm(pos)
+        right = np.cross(fwd, [0, 1, 0]); right /= np.linalg.norm(right)
+        up = np.cross(right, fwd)
+        c2ws.append(np.stack([right, up, -fwd, pos], axis=1))
+    cams = make_cameras(np.asarray(c2ws, np.float32), 40, 40,
+                        w / 2, h / 2, w, h)
+    bg = jnp.zeros(3)
+    gt = jnp.stack([render_rgbd(gt_scene, cams.c2w[i], cams.fx[i],
+                                cams.fy[i], cams.cx[i], cams.cy[i],
+                                w, h, bg, 1)["rgb"] for i in range(3)])
+    # the pathological input class: >60% of pixels exactly-flat background
+    assert float((gt.reshape(3, -1, 3).std(-1) < 1e-3).mean()) > 0.3
+    pts = np.asarray(gt_scene.means[:20])
+    cols = np.full((20, 3), 0.5, np.float32)
+    cfg = PretrainConfig(
+        num_steps=40, capacity_mult=2.0, eval_every=0,
+        densify=DensifyConfig(warmup=5, stop_at=35, refine_every=10,
+                              reset_alpha_every=30, grad_thresh=1e-6),
+        sh_degree_interval=10)
+    # must NOT raise FloatingPointError (the sentinel) on the refine steps
+    scene, metrics = pretrain(cams, np.asarray(gt), pts, cols, cfg,
+                              sh_degree=1)
+    assert np.isfinite(float(metrics["loss"]))
+    assert -1.0 <= float(metrics["ssim"]) <= 1.0

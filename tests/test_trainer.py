@@ -67,6 +67,19 @@ def test_ssim_bounded_on_flat_images(rng):
     assert np.abs(g).max() < 10.0
 
 
+def test_ssim_finite_below_window_size(rng):
+    """Images smaller than the 11x11 window must NOT produce NaN: the VALID
+    conv output would be empty and mean([]) is silently NaN — hit at the
+    1/4-res phase of the pretrain ramp on small portrait views (e.g. a
+    32x48 camera training at 8x12). The window shrinks to fit instead."""
+    for h, w in [(8, 12), (12, 8), (11, 11), (5, 40), (1, 1)]:
+        a = jnp.asarray(rng.uniform(0, 1, (h, w, 3)).astype(np.float32))
+        b = jnp.asarray(rng.uniform(0, 1, (h, w, 3)).astype(np.float32))
+        s = float(ssim(a, b))
+        assert np.isfinite(s) and -1.0 <= s <= 1.0 + 1e-5, (h, w, s)
+        assert float(ssim(a, a)) > 0.999, (h, w)
+
+
 def test_splat_loss_zero_for_identical(rng):
     img = jnp.asarray(rng.uniform(0, 1, (32, 32, 3)).astype(np.float32))
     loss, m = splat_loss(img, img)
