@@ -59,7 +59,7 @@ def main(argv=None):
         gt = jnp.asarray(images[i])
         mse = float(jnp.mean((rgb - gt) ** 2))
         psnr = -10.0 * np.log10(max(mse, 1e-10))
-        s = float(ssim(rgb[None], gt[None]))
+        s = float(ssim(rgb, gt))
         rows.append((i, psnr, s))
         if i % 16 == 0:
             print(f"view {i}/{len(cams)}: psnr={psnr:.2f} ssim={s:.4f}",
