@@ -148,3 +148,43 @@ def test_cross_view_fused_matches_processor(g, f, t, c, heads, r,
                                block_q=64, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=3e-5, rtol=3e-5)
+
+
+def test_cross_view_fused_gates(monkeypatch):
+    """Routing gates for the fused cross-view path: the mesh lane
+    (allow_fused=False) and a disabling env override must both fall back to
+    the composed einsum path even when the backend reports TPU; the default
+    level set is the recorded sweep winner (outputs/perf_r5/README.md)."""
+    from gaussctrl_tpu.diffusion import processors as P
+    assert P._XVIEW_FUSED_DEFAULT == "4096,1024,256"
+
+    calls = {"fused": 0}
+    import importlib
+    F = importlib.import_module("gaussctrl_tpu.ops.flash_attention")
+
+    def fake_fused(*a, **k):
+        calls["fused"] += 1
+        raise AssertionError("fused path must not be taken")
+
+    monkeypatch.setattr(F, "cross_view_attention", fake_fused)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    # keep the COMPOSED branches on einsum: with the faked backend the
+    # flash gate would otherwise hand CPU a non-interpret Pallas call
+    monkeypatch.setenv("GAUSSCTRL_FLASH", "0")
+
+    g, f, t, c, heads, r = 2, 4, 256, 16, 2, 2
+    b = g * f
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, t, c))
+    # 1) mesh lane: allow_fused=False
+    out = P.CrossViewAttnProcessor(r, 0.6, g, allow_fused=False)(q, q, q,
+                                                                 heads)
+    assert out.shape == (b, t, c) and calls["fused"] == 0
+    # 2) env kill-switch: empty level set
+    monkeypatch.setenv("GAUSSCTRL_XVIEW_FUSED_LEVELS", "")
+    out = P.CrossViewAttnProcessor(r, 0.6, g)(q, q, q, heads)
+    assert out.shape == (b, t, c) and calls["fused"] == 0
+    # 3) default env + TPU backend + fused level -> takes the fused path
+    monkeypatch.delenv("GAUSSCTRL_XVIEW_FUSED_LEVELS", raising=False)
+    with pytest.raises(AssertionError, match="must not"):
+        P.CrossViewAttnProcessor(r, 0.6, g)(q, q, q, heads)
+    assert calls["fused"] == 1
